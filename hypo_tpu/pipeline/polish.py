@@ -1,0 +1,236 @@
+"""The polishing orchestrator (reference src/Hypo.cpp Hypo::polish).
+
+Pipeline per batch of contigs:
+  solid k-mers -> contigs -> solid positions -> [stream short BAM] ->
+  k-mer support -> SR/MegaWindows -> minimizer support -> window division
+  -> short arms -> window fill/prune -> [optional long pass] -> POA
+  consensus -> FASTA.
+
+Stage checkpointing mirrors the reference's aux/ dir (-i): solid kmers in
+``aux/solid_kmers.npz`` and ``aux/stage.txt`` appended per stage
+(reference main.cpp:326-350, Hypo.cpp:49-77).
+
+Window consensus runs either on the host oracle or (use_device_poa) the
+batched device engine in hypo_tpu.poa.batch.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import STAGE_BEG, STAGE_SK, InputFlags
+from ..io.bam import FDUP, FQCFAIL, FSECONDARY, FUNMAP, read_alignments
+from ..io.fasta import read_fastx, write_fasta
+from ..kmers.solid import SolidKmers
+from ..poa.engine import ConsensusEngine
+from ..segment.support import (update_minimisers_support,
+                               update_solidkmers_support)
+from ..utils.monitor import Monitor
+from .alignment import Alignment
+from .contig import Contig
+
+
+class _BamStream:
+    """One-pass BAM reader with a single-record lookahead so batch
+    boundaries can be detected (reference Hypo.cpp:320-322 relies on the
+    BAM being sorted in draft contig order)."""
+
+    def __init__(self, path: str, cname_to_id: Dict[str, int]):
+        refs, it = read_alignments(path)
+        self.it = it
+        self.tid_to_cid = {}
+        for tid, (name, _len) in enumerate(refs):
+            if name in cname_to_id:
+                self.tid_to_cid[tid] = cname_to_id[name]
+            # unknown names fail lazily, matching the reference error
+        self.pending = None
+
+    def records_until(self, final_cid: int):
+        """Yield (cid, record) while cid < final_cid."""
+        if self.pending is not None:
+            cid, rec = self.pending
+            if cid >= final_cid:
+                return
+            self.pending = None
+            yield cid, rec
+        for rec in self.it:
+            if rec.flag & (FUNMAP | FSECONDARY | FQCFAIL | FDUP):
+                continue
+            if rec.tid < 0:
+                continue
+            if rec.tid not in self.tid_to_cid:
+                raise ValueError(
+                    f"contig id {rec.tid} in BAM not present in draft")
+            cid = self.tid_to_cid[rec.tid]
+            if cid >= final_cid:
+                self.pending = (cid, rec)
+                return
+            yield cid, rec
+
+
+class Polisher:
+    def __init__(self, flags: InputFlags):
+        self.flags = flags
+        self.monitor = Monitor()
+        self.contigs: List[Contig] = []
+        self.no_long_reads = flags.lr_bam_filename == ""
+
+    # -- solid kmers (Hypo.cpp:47-78) -------------------------------------
+    def _get_solid_kmers(self) -> SolidKmers:
+        f = self.flags
+        skfile = os.path.join(f.aux_dir, "solid_kmers.npz")
+        stagefile = os.path.join(f.aux_dir, "stage.txt")
+        if f.intermed and f.done_stage >= STAGE_SK and os.path.exists(skfile):
+            sk = SolidKmers.load(skfile)
+            self.monitor.stop("[hypo_tpu] Loaded solid kmers. ")
+            return sk
+        sk = SolidKmers(f.k).initialise(f.sr_filenames, f.cov)
+        if f.intermed:
+            os.makedirs(f.aux_dir, exist_ok=True)
+            sk.store(skfile)
+            with open(stagefile, "a") as fh:
+                fh.write(f"Stage:SolidKmers [{time.ctime()}]\t{STAGE_SK}\n")
+        self.monitor.stop("[hypo_tpu] Computed solid kmers. ")
+        return sk
+
+    # -- main -------------------------------------------------------------
+    def polish(self) -> None:
+        f = self.flags
+        mon = self.monitor
+        mon.start()
+        sk = self._get_solid_kmers()
+        print(f"[hypo_tpu] solid (canonical, non-HP) kmers: "
+              f"{sk.get_num_solid_kmers()}")
+
+        mon.start()
+        cname_to_id: Dict[str, int] = {}
+        for cid, (name, seq) in enumerate(read_fastx(f.draft_filename)):
+            cname_to_id[name] = cid
+            self.contigs.append(Contig(cid, name, seq))
+        mon.stop("[hypo_tpu] Loaded contigs. ")
+
+        mon.start()
+        for ctg in self.contigs:
+            ctg.find_solid_pos(sk)
+        mon.stop("[hypo_tpu] Found solid positions. ")
+
+        n_contigs = len(self.contigs)
+        batch = f.processing_batch_size or n_contigs
+        num_batches = (n_contigs + batch - 1) // batch
+        sr_stream = _BamStream(f.sr_bam_filename, cname_to_id)
+        lr_stream = (None if self.no_long_reads
+                     else _BamStream(f.lr_bam_filename, cname_to_id))
+        engine = ConsensusEngine(f.score_params)
+
+        for b in range(num_batches):
+            lo = b * batch
+            hi = min(n_contigs, lo + batch)
+            self._polish_batch(sr_stream, lr_stream, engine, lo, hi)
+
+        mon.start()
+        write_fasta(f.output_filename,
+                    ((c.name, c.polished_seq(self.no_long_reads))
+                     for c in self.contigs))
+        mon.stop("[hypo_tpu] Wrote results. ")
+        mon.total("[hypo_tpu] Overall. ")
+
+    def _polish_batch(self, sr_stream, lr_stream, engine, lo: int,
+                      hi: int) -> None:
+        f = self.flags
+        mon = self.monitor
+        ws = f.window_settings
+        mon.start()
+        store: Dict[int, List[Alignment]] = {c: [] for c in range(lo, hi)}
+        num_alns = num_invalid = 0
+        for cid, rec in sr_stream.records_until(hi):
+            if rec.mapq < f.map_qual_th:
+                continue
+            aln = Alignment.from_record(rec, self.contigs[cid].length)
+            if aln.is_valid:
+                store[cid].append(aln)
+                num_alns += 1
+            else:
+                num_invalid += 1
+        mon.stop(f"[hypo_tpu] Loaded {num_alns} short alignments "
+                 f"({num_invalid} invalid). ")
+
+        mon.start()
+        for cid in range(lo, hi):
+            update_solidkmers_support(self.contigs[cid], store[cid], f.k)
+        mon.stop("[hypo_tpu] Solid kmer support. ")
+
+        mon.start()
+        for cid in range(lo, hi):
+            self.contigs[cid].prepare_for_division(f.k, ws)
+        num_sr = sum(c.num_sr for c in self.contigs[lo:hi])
+        len_sr = sum(c.len_sr for c in self.contigs[lo:hi])
+        print(f"[hypo_tpu] SRs: {num_sr} covering {len_sr} bp")
+        mon.stop("[hypo_tpu] Strong regions. ")
+
+        mon.start()
+        for cid in range(lo, hi):
+            update_minimisers_support(self.contigs[cid], store[cid])
+        mon.stop("[hypo_tpu] Minimizer support. ")
+
+        mon.start()
+        for cid in range(lo, hi):
+            self.contigs[cid].divide_into_regions(ws)
+        mon.stop("[hypo_tpu] Window division. ")
+
+        mon.start()
+        for cid in range(lo, hi):
+            ctg = self.contigs[cid]
+            for aln in store[cid]:
+                aln.find_short_arms(f.k, ctg)
+        mon.stop("[hypo_tpu] Short arms. ")
+
+        mon.start()
+        for cid in range(lo, hi):
+            self.contigs[cid].fill_short_windows(store[cid])
+            store[cid] = []
+        mon.stop("[hypo_tpu] Window fill. ")
+
+        if lr_stream is not None:
+            mon.start()
+            lstore: Dict[int, List[Alignment]] = {
+                c: [] for c in range(lo, hi)}
+            for cid, rec in lr_stream.records_until(hi):
+                if rec.mapq < f.map_qual_th:
+                    continue
+                aln = Alignment.from_record(rec, self.contigs[cid].length,
+                                            norm_edit_th=f.norm_edit_th)
+                if aln.is_valid:
+                    lstore[cid].append(aln)
+            for cid in range(lo, hi):
+                self.contigs[cid].prepare_long_windows(ws)
+            for cid in range(lo, hi):
+                ctg = self.contigs[cid]
+                for aln in lstore[cid]:
+                    aln.find_long_arms(ctg)
+            for cid in range(lo, hi):
+                self.contigs[cid].fill_long_windows(lstore[cid])
+                lstore[cid] = []
+            mon.stop("[hypo_tpu] Long arms. ")
+
+        mon.start()
+        nwin = 0
+        if f.use_device_poa:
+            from ..poa.batch import DeviceConsensusRunner
+            runner = DeviceConsensusRunner(f.score_params)
+            for cid in range(lo, hi):
+                nwin += runner.run_contig(self.contigs[cid], engine)
+        else:
+            for cid in range(lo, hi):
+                ctg = self.contigs[cid]
+                for w in ctg.windows:
+                    if w is not None:
+                        engine.generate_consensus(w)
+                        nwin += 1
+        mon.stop(f"[hypo_tpu] POA over {nwin} windows. ")
+
+
+def polish(flags: InputFlags) -> None:
+    Polisher(flags).polish()

@@ -1,0 +1,91 @@
+"""End-to-end pipeline tests on simulated datasets."""
+import numpy as np
+import pytest
+
+from hypo_tpu.config import InputFlags, ScoreParams, get_kmer_len
+from hypo_tpu.pipeline.polish import polish
+from hypo_tpu.sim import SimConfig, simulate
+from hypo_tpu.eval_qv import compare
+from hypo_tpu.segment.regions import RegionType
+
+
+def _flags(paths, tmp_path, **kw):
+    return InputFlags(
+        sr_filenames=[paths["reads"]],
+        sr_bam_filename=paths["sr_bam"],
+        lr_bam_filename=paths.get("lr_bam") or "",
+        draft_filename=paths["draft"],
+        output_filename=str(tmp_path / "polished.fa"),
+        k=max(2, get_kmer_len(str(paths["genome_size"]))),
+        cov=paths["short_cov"],
+        **kw,
+    )
+
+
+def test_short_only_polish_improves_draft(tmp_path):
+    paths = simulate(SimConfig(genome_size=8000, seed=7,
+                               draft_error_rate=0.012), str(tmp_path))
+    flags = _flags(paths, tmp_path)
+    polish(flags)
+    before = compare(paths["truth"], paths["draft"])
+    after = compare(paths["truth"], flags.output_filename)
+    assert after["edit_distance"] < 0.25 * before["edit_distance"]
+
+
+def test_hybrid_polish_with_dropout(tmp_path):
+    # a short-read dropout region forces arm-less windows; long reads
+    # must polish them through the pseudo-window path
+    paths = simulate(SimConfig(genome_size=8000, seed=8,
+                               draft_error_rate=0.02, long_cov=30,
+                               dropout=(0.4, 0.55)), str(tmp_path))
+    flags = _flags(paths, tmp_path)
+    polish(flags)
+    before = compare(paths["truth"], paths["draft"])
+    after = compare(paths["truth"], flags.output_filename)
+    assert after["edit_distance"] < 0.5 * before["edit_distance"]
+
+
+def test_hybrid_exercises_long_windows(tmp_path):
+    from hypo_tpu.pipeline.polish import Polisher
+    paths = simulate(SimConfig(genome_size=8000, seed=8,
+                               draft_error_rate=0.02, long_cov=30,
+                               dropout=(0.4, 0.55)), str(tmp_path))
+    flags = _flags(paths, tmp_path)
+    p = Polisher(flags)
+    p.polish()
+    long_regions = sum(
+        1 for c in p.contigs for t in c.reg_type
+        if t == RegionType.LONG)
+    assert long_regions > 0, "dropout should force LONG pseudo-windows"
+
+
+def test_short_only_no_coverage_keeps_draft(tmp_path):
+    # without long reads, arm-less windows must fall back to the draft
+    paths = simulate(SimConfig(genome_size=6000, seed=9,
+                               draft_error_rate=0.01,
+                               dropout=(0.3, 0.5)), str(tmp_path))
+    flags = _flags(paths, tmp_path)
+    polish(flags)
+    after = compare(paths["truth"], flags.output_filename)
+    # the dropout region keeps draft errors, but output must still be
+    # roughly genome-sized (no dropped sequence)
+    import hypo_tpu.io.fasta as fasta
+    out = dict(fasta.read_fastx(flags.output_filename))
+    truth = dict(fasta.read_fastx(paths["truth"]))
+    for name in truth:
+        assert abs(len(out[name]) - len(truth[name])) < 0.05 * len(
+            truth[name])
+
+
+def test_batched_contigs_match_single_batch(tmp_path):
+    paths = simulate(SimConfig(genome_size=9000, num_contigs=3, seed=11),
+                     str(tmp_path))
+    f1 = _flags(paths, tmp_path)
+    f1.output_filename = str(tmp_path / "one.fa")
+    polish(f1)
+    f2 = _flags(paths, tmp_path, processing_batch_size=1)
+    f2.output_filename = str(tmp_path / "batched.fa")
+    polish(f2)
+    import hypo_tpu.io.fasta as fasta
+    assert list(fasta.read_fastx(f1.output_filename)) == \
+        list(fasta.read_fastx(f2.output_filename))
