@@ -1,0 +1,73 @@
+"""Benchmark: POA DP throughput on the local chip(s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: polishing windows/sec/chip, derived from the batched POA DP
+kernel throughput (the pipeline's dominant compute, SURVEY §3.4) at a
+realistic short-window bucket (graph ~224 nodes, arms ~150 bp, ~32 arms
+per window).
+
+Baseline: reference HyPo polishes a whole human draft (~6M weak windows
+at ~20% weak fraction / 100 bp) in ~3 h on 48 threads (README.md:245)
+=> ~560 windows/s on a 48-core node.  vs_baseline = value / 560.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+ARMS_PER_WINDOW = 32
+BASELINE_WINDOWS_PER_SEC = 560.0
+
+
+def main() -> None:
+    import jax
+    from hypo_tpu.parallel.mesh import make_example_inputs
+    from hypo_tpu.poa import jax_poa
+
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev}", file=sys.stderr)
+
+    N, L, P, B = 224, 160, 8, 512
+    inputs = make_example_inputs(B=B, N=N, L=L, Pcap=P, R=64)
+    (node_code, pred_rows, pred_cnt, is_end, n_nodes, arm, arm_len, mode,
+     _reads) = [jax.device_put(x, dev) for x in inputs]
+
+    def run():
+        bp, mr = jax_poa.poa_dp_batch(
+            node_code, pred_rows, pred_cnt, is_end, n_nodes, arm, arm_len,
+            mode, N=N, L=L, P=P, m=5, n=-4, g=-8)
+        return mr
+
+    t0 = time.time()
+    run().block_until_ready()
+    compile_s = time.time() - t0
+    print(f"[bench] compile: {compile_s:.1f}s", file=sys.stderr)
+
+    # warm + measure
+    run().block_until_ready()
+    reps = 10
+    t0 = time.time()
+    for _ in range(reps):
+        mr = run()
+    mr.block_until_ready()
+    dt = time.time() - t0
+    aligns_per_sec = B * reps / dt
+    cells_per_sec = aligns_per_sec * N * L
+    windows_per_sec = aligns_per_sec / ARMS_PER_WINDOW
+    print(f"[bench] {aligns_per_sec:,.0f} arm-aligns/s, "
+          f"{cells_per_sec/1e9:.2f} Gcells/s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "poa_windows_per_sec_per_chip",
+        "value": round(windows_per_sec, 2),
+        "unit": "windows/s",
+        "vs_baseline": round(windows_per_sec / BASELINE_WINDOWS_PER_SEC,
+                             3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

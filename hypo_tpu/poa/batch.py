@@ -1,0 +1,240 @@
+"""Device-batched window consensus: schedules many windows' POA rounds
+through the jitted DP kernel in jax_poa, with host-side graph merges.
+
+Execution model (TPU-first): all windows advance in lockstep "arm
+rounds".  Round r batches the r-th sequence of every still-active window
+into fixed-shape (N, L) buckets, runs one vmapped DP per bucket on
+device, then merges the tracebacks into each window's host graph.  The
+first sequence of a window needs no DP (empty graph).  Windows whose
+graph outgrows the largest bucket fall back to the exact host oracle, so
+results are ALWAYS identical to the oracle engine.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import ScoreParams
+from ..dna import decode
+from .align import PoaAligner
+from .engine import CURATE_THRESH, HEAD, TAIL
+from .graph import Graph
+from .jax_poa import (GLOBAL_CODE, LOV, NW, ROV, encode_global,
+                      extract_graph_arrays, poa_dp_batch,
+                      traceback_from_bp)
+
+N_CAPS = (64, 128, 256, 512, 1024)
+L_CAPS = (64, 128, 256, 512, 1024)
+P_CAP = 8
+
+
+def _cap_for(v: int, caps) -> Optional[int]:
+    for c in caps:
+        if v <= c:
+            return c
+    return None
+
+
+class _Job:
+    __slots__ = ("window", "seqs", "scores", "graph", "cursor", "kind")
+
+    def __init__(self, window, seqs, scores, kind):
+        self.window = window
+        self.seqs = seqs          # list of (seq_str, mode)
+        self.scores = scores      # (m, n, g)
+        self.graph = Graph()
+        self.cursor = 0
+        self.kind = kind          # "short" | "long1" | "long2"
+
+
+class DeviceConsensusRunner:
+    def __init__(self, sp: ScoreParams, fix_long_align_type: bool = False):
+        self.sp = sp
+        self.short_scores = (sp.sr_match, sp.sr_mismatch, sp.sr_gap)
+        self.long_scores = (sp.lr_match, sp.lr_mismatch, sp.lr_gap)
+        self.fix_long = fix_long_align_type
+        self.stats = {"device_rounds": 0, "device_aligns": 0,
+                      "host_fallbacks": 0}
+
+    # -- job construction (mirrors engine.ConsensusEngine) ----------------
+    def _build_job(self, w) -> Optional[_Job]:
+        non_empty = w.num_internal + w.num_pre + w.num_suf
+        if w.num_empty > non_empty:
+            w.consensus = ""
+            return None
+        if non_empty < 2:
+            w.consensus = decode(w.draft)
+            return None
+        if w.wtype == 0:
+            seqs: List[Tuple[str, int]] = []
+            if not w.internal_arms:
+                seqs.append((HEAD + decode(w.draft) + TAIL, NW))
+            arms_added = False
+            for a in w.internal_arms:
+                if len(a):
+                    seqs.append((HEAD + decode(a) + TAIL, NW))
+                    arms_added = True
+            for a in reversed(w.pre_arms):
+                if len(a):
+                    seqs.append((HEAD + decode(a), LOV))
+                    arms_added = True
+            for a in w.suf_arms:
+                if len(a):
+                    seqs.append((decode(a) + TAIL, ROV))
+                    arms_added = True
+            if not arms_added:
+                w.consensus = decode(w.draft)
+                return None
+            return _Job(w, seqs, self.short_scores, "short")
+        return self._build_long_job(w, backbone=decode(w.draft),
+                                    kind="long1")
+
+    def _build_long_job(self, w, backbone: str, kind: str
+                        ) -> Optional[_Job]:
+        mode_pre = LOV if self.fix_long else NW
+        mode_suf = ROV if self.fix_long else NW
+        seqs: List[Tuple[str, int]] = []
+        if backbone:
+            seqs.append((backbone, NW))
+        arms_added = False
+        for a in w.internal_arms:
+            if len(a):
+                seqs.append((decode(a), NW))
+                arms_added = True
+        for a in w.pre_arms:
+            if len(a):
+                seqs.append((decode(a), mode_pre))
+                arms_added = True
+        for a in w.suf_arms:
+            if len(a):
+                seqs.append((decode(a), mode_suf))
+                arms_added = True
+        if not arms_added:
+            w.consensus = decode(w.draft)
+            return None
+        return _Job(w, seqs, self.long_scores, kind)
+
+    # -- finalization ------------------------------------------------------
+    def _finalize(self, job: _Job) -> Optional[_Job]:
+        w = job.window
+        if job.kind == "short":
+            w.consensus = job.graph.generate_consensus()[1:-1]
+            return None
+        cons, dst = job.graph.generate_consensus_custom()
+        th = math.floor(w.num_internal * CURATE_THRESH)
+        curated = "".join(c for c, d in zip(cons, dst) if d >= th)
+        w.consensus = curated
+        if job.kind == "long1":
+            return self._build_long_job(w, backbone=curated, kind="long2")
+        return None
+
+    # -- host fallback ------------------------------------------------------
+    def _host_finish(self, job: _Job) -> Optional[_Job]:
+        self.stats["host_fallbacks"] += 1
+        aligner = PoaAligner(*job.scores)
+        while job.cursor < len(job.seqs):
+            seq, mode = job.seqs[job.cursor]
+            job.graph.add_alignment(aligner.align(seq, job.graph, mode),
+                                    seq)
+            job.cursor += 1
+        return self._finalize(job)
+
+    # -- main loop ----------------------------------------------------------
+    def run_windows(self, windows) -> int:
+        jobs: List[_Job] = []
+        count = 0
+        for w in windows:
+            if w is None:
+                continue
+            count += 1
+            j = self._build_job(w)
+            if j is not None:
+                jobs.append(j)
+        active = jobs
+        while active:
+            nxt: List[_Job] = []
+            groups: Dict[tuple, List[_Job]] = {}
+            for job in active:
+                if job.cursor >= len(job.seqs):
+                    spawned = self._finalize(job)
+                    if spawned is not None:
+                        nxt.append(spawned)
+                    continue
+                if job.cursor == 0:
+                    seq, _mode = job.seqs[0]
+                    job.graph.add_alignment([], seq)
+                    job.cursor = 1
+                    nxt.append(job)
+                    continue
+                seq, _mode = job.seqs[job.cursor]
+                ncap = _cap_for(len(job.graph.nodes), N_CAPS)
+                lcap = _cap_for(len(seq), L_CAPS)
+                if ncap is None or lcap is None:
+                    spawned = self._host_finish(job)
+                    if spawned is not None:
+                        nxt.append(spawned)
+                    continue
+                groups.setdefault((job.scores, ncap, lcap), []).append(job)
+            for (scores, ncap, lcap), grp in groups.items():
+                nxt.extend(self._run_group(grp, scores, ncap, lcap))
+            active = nxt
+        return count
+
+    def run_contig(self, contig, _engine=None) -> int:
+        return self.run_windows(contig.windows)
+
+    def _run_group(self, grp: List[_Job], scores, N: int,
+                   L: int) -> List[_Job]:
+        B = len(grp)
+        Bp = 1 << max(0, (B - 1).bit_length())  # pad to a power of two
+        node_code = np.zeros((Bp, N), dtype=np.int32)
+        pred_rows = np.zeros((Bp, N, P_CAP), dtype=np.int32)
+        pred_cnt = np.ones((Bp, N), dtype=np.int32)
+        is_end = np.zeros((Bp, N), dtype=bool)
+        n_nodes = np.zeros(Bp, dtype=np.int32)
+        arm = np.zeros((Bp, L), dtype=np.int32)
+        arm_len = np.ones(Bp, dtype=np.int32)
+        mode = np.zeros(Bp, dtype=np.int32)
+        overflow: List[int] = []
+        for b, job in enumerate(grp):
+            ext = extract_graph_arrays(job.graph, N, P_CAP)
+            if ext is None:  # P overflow
+                overflow.append(b)
+                continue
+            nc, pr, pc, ie, nn = ext
+            node_code[b] = nc
+            pred_rows[b] = pr
+            pred_cnt[b] = pc
+            is_end[b] = ie
+            n_nodes[b] = nn
+            seq, md = job.seqs[job.cursor]
+            codes = encode_global(seq)
+            arm[b, :len(codes)] = codes
+            arm_len[b] = len(codes)
+            mode[b] = md
+        m, n, g = scores
+        bp, max_row = poa_dp_batch(
+            node_code, pred_rows, pred_cnt, is_end, n_nodes, arm, arm_len,
+            mode, N=N, L=L, P=P_CAP, m=m, n=n, g=g)
+        bp = np.asarray(bp)
+        max_row = np.asarray(max_row)
+        self.stats["device_rounds"] += 1
+        self.stats["device_aligns"] += B - len(overflow)
+        out: List[_Job] = []
+        overflow_set = set(overflow)
+        for b, job in enumerate(grp):
+            if b in overflow_set:
+                spawned = self._host_finish(job)
+                if spawned is not None:
+                    out.append(spawned)
+                continue
+            seq, md = job.seqs[job.cursor]
+            alignment = traceback_from_bp(
+                bp[b], pred_rows[b], job.graph.rank_to_node_id,
+                int(arm_len[b]), md, int(max_row[b]), P_CAP)
+            job.graph.add_alignment(alignment, seq)
+            job.cursor += 1
+            out.append(job)
+        return out

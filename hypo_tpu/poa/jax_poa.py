@@ -1,0 +1,167 @@
+"""Batched sequence-to-graph DP on device (JAX/XLA), tie-exact with the
+NumPy oracle in hypo_tpu.poa.align.
+
+Design (TPU-first, not a port): the POA inner loop is one fused jitted
+program per (N, L, P) bucket, vmapped over a batch of windows.  Each
+window's graph is a set of fixed-capacity arrays in topological rank
+order; one lax.scan row sweep computes the DP matrix AND an int8
+backpointer plane whose per-cell code is chosen in exactly the
+reference's traceback priority (diag pred0.., vert pred0.., horizontal —
+sisd_alignment_engine.cpp:363-428), so the host traceback is a cheap
+pointer walk with no score re-derivation.  The in-row horizontal
+dependency is a cummax associative scan (the reference's SIMD engine
+resolves the same dependency with a log-step prefix max,
+simd_alignment_engine.cpp:727-799).
+
+Alphabet is global and fixed (A,C,G,T + J/O markers), so the device
+never sees per-graph code tables.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+NW, LOV, ROV = 0, 1, 2
+NEG = -(2 ** 30)
+
+# global alphabet codes (order fixed; host graphs keep their own coders)
+GLOBAL_ALPHABET = "ACGTJO"
+GLOBAL_CODE = {c: i for i, c in enumerate(GLOBAL_ALPHABET)}
+
+
+def encode_global(seq: str) -> np.ndarray:
+    return np.array([GLOBAL_CODE[c] for c in seq], dtype=np.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("N", "L", "P", "m", "n", "g"))
+def poa_dp_batch(node_code, pred_rows, pred_cnt, is_end, n_nodes, arm,
+                 arm_len, mode, *, N: int, L: int, P: int, m: int, n: int,
+                 g: int):
+    """One DP round for a batch of windows.
+
+    Shapes: node_code [B,N] i32 (rank order, global codes);
+    pred_rows [B,N,P] i32 (H-row indices = rank+1; no-pred nodes get one
+    entry 0); pred_cnt [B,N] i32; is_end [B,N] bool (no out-edges);
+    n_nodes [B] i32; arm [B,L] i32; arm_len [B] i32; mode [B] i32.
+
+    Returns (bp [B,N+1,L+1] int8, max_row [B] i32).  bp codes:
+    0..P-1 diag via pred p, P..2P-1 vertical via pred p, 2P horizontal.
+    """
+    jj = jnp.arange(L + 1, dtype=jnp.int32)
+    parange = jnp.arange(P, dtype=jnp.int32)
+
+    def one(node_code, pred_rows, pred_cnt, is_end, n_nodes, arm, arm_len,
+            mode):
+        H0 = jj * g
+        H = jnp.full((N + 1, L + 1), NEG, dtype=jnp.int32)
+        H = H.at[0].set(H0)
+
+        def row_step(H, r):
+            code = node_code[r]
+            prows = pred_rows[r]
+            pvalid = parange < pred_cnt[r]
+            Hp = jnp.where(pvalid[:, None], H[prows], NEG)  # [P, L+1]
+            prof = jnp.where(arm == code, m, n)             # [L]
+            diag = Hp[:, :-1] + prof[None, :]
+            vert = Hp[:, 1:] + g
+            tmp = jnp.max(jnp.maximum(diag, vert), axis=0)  # [L]
+            col0 = jnp.where(mode == ROV, 0,
+                             jnp.max(Hp[:, 0]) + g).astype(jnp.int32)
+            val = jnp.concatenate([col0[None], tmp])
+            run = jax.lax.cummax(val - jj * g)
+            row = run + jj * g                               # final H row
+            h = row[1:]
+            diag_hit = (diag == h[None, :]) & pvalid[:, None]
+            vert_hit = (vert == h[None, :]) & pvalid[:, None]
+            horiz_hit = (row[:-1] + g == h)[None, :]
+            cand = jnp.concatenate([diag_hit, vert_hit, horiz_hit], 0)
+            bp_j = jnp.argmax(cand, axis=0).astype(jnp.int8)
+            vert0 = (Hp[:, 0] + g == col0) & pvalid
+            bp_0 = (P + jnp.argmax(vert0)).astype(jnp.int8)
+            bp_row = jnp.concatenate([bp_0[None], bp_j])
+            H = jax.lax.dynamic_update_slice(H, row[None, :],
+                                             (r + 1, 0))
+            return H, bp_row
+
+        H, bp_rows = jax.lax.scan(row_step, H,
+                                  jnp.arange(N, dtype=jnp.int32))
+        at_L = H[1:, arm_len]                               # rows 1..N
+        valid_row = jnp.arange(N) < n_nodes
+        elig = jnp.where(mode == LOV, valid_row, valid_row & is_end)
+        masked = jnp.where(elig, at_L, NEG)
+        max_row = (jnp.argmax(masked) + 1).astype(jnp.int32)
+        bp = jnp.concatenate(
+            [jnp.zeros((1, L + 1), jnp.int8), bp_rows], axis=0)
+        return bp, max_row
+
+    return jax.vmap(one)(node_code, pred_rows, pred_cnt, is_end, n_nodes,
+                         arm, arm_len, mode)
+
+
+def traceback_from_bp(bp: np.ndarray, pred_rows: np.ndarray,
+                      rank_to_node_id: List[int], arm_len: int, mode: int,
+                      max_row: int, P: int) -> List[Tuple[int, int]]:
+    """Host pointer walk; mirrors the oracle traceback loop structure
+    (row 0 can only move horizontally, H[0,j] = j*g)."""
+    i = int(max_row)
+    j = int(arm_len)
+    alignment: List[Tuple[int, int]] = []
+    while True:
+        if mode in (NW, LOV):
+            if i == 0 and j == 0:
+                break
+        else:  # ROV
+            if i == 0 or j == 0:
+                break
+        if i == 0:
+            alignment.append((-1, j - 1))
+            j -= 1
+            continue
+        code = int(bp[i, j])
+        if code < P:          # diagonal
+            prev_i = int(pred_rows[i - 1, code])
+            prev_j = j - 1
+        elif code < 2 * P:    # vertical
+            prev_i = int(pred_rows[i - 1, code - P])
+            prev_j = j
+        else:                 # horizontal
+            prev_i = i
+            prev_j = j - 1
+        alignment.append((
+            -1 if prev_i == i else rank_to_node_id[i - 1],
+            -1 if prev_j == j else j - 1))
+        i, j = prev_i, prev_j
+    alignment.reverse()
+    return alignment
+
+
+def extract_graph_arrays(graph, N: int, P: int):
+    """Flatten a host Graph into the fixed-shape arrays the DP consumes.
+    Returns None if the graph exceeds the (N, P) caps."""
+    nn = len(graph.rank_to_node_id)
+    if nn > N:
+        return None
+    rank_of = {}
+    for r, nid in enumerate(graph.rank_to_node_id):
+        rank_of[nid] = r
+    node_code = np.zeros(N, dtype=np.int32)
+    pred_rows = np.zeros((N, P), dtype=np.int32)
+    pred_cnt = np.ones(N, dtype=np.int32)
+    is_end = np.zeros(N, dtype=bool)
+    for r, nid in enumerate(graph.rank_to_node_id):
+        node = graph.nodes[nid]
+        node_code[r] = GLOBAL_CODE[graph.decoder[node.code]]
+        if node.in_edges:
+            if len(node.in_edges) > P:
+                return None
+            pred_cnt[r] = len(node.in_edges)
+            for p, e in enumerate(node.in_edges):
+                pred_rows[r, p] = rank_of[e.begin] + 1
+        is_end[r] = not node.out_edges
+    return node_code, pred_rows, pred_cnt, is_end, nn
