@@ -220,8 +220,10 @@ class Polisher:
         if f.use_device_poa:
             from ..poa.batch import DeviceConsensusRunner
             runner = DeviceConsensusRunner(f.score_params)
-            for cid in range(lo, hi):
-                nwin += runner.run_contig(self.contigs[cid], engine)
+            all_windows = [w for cid in range(lo, hi)
+                           for w in self.contigs[cid].windows
+                           if w is not None]
+            nwin += runner.run_windows(all_windows)
         else:
             for cid in range(lo, hi):
                 ctg = self.contigs[cid]

@@ -49,8 +49,24 @@ class _Job:
         self.kind = kind          # "short" | "long1" | "long2"
 
 
+def _enable_compilation_cache() -> None:
+    """Persist jit compilations across runs (first-compile latency of the
+    bucketed DP kernels is the dominant small-run cost)."""
+    import os
+
+    import jax
+    try:
+        cache = os.path.expanduser("~/.cache/hypo_tpu_jax")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 class DeviceConsensusRunner:
     def __init__(self, sp: ScoreParams, fix_long_align_type: bool = False):
+        _enable_compilation_cache()
         self.sp = sp
         self.short_scores = (sp.sr_match, sp.sr_mismatch, sp.sr_gap)
         self.long_scores = (sp.lr_match, sp.lr_mismatch, sp.lr_gap)
