@@ -1,0 +1,205 @@
+"""ctypes bindings for the native POA engine (poa_native.cpp).
+
+The shared library is built on demand with g++ into this directory;
+callers check ``available()`` and fall back to the pure-Python oracle
+when the toolchain is missing.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "poa_native.cpp")
+_LIB = os.path.join(_DIR, "libhypo_poa.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+           "-march=native", _SRC, "-o", _LIB + ".tmp"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        os.replace(_LIB + ".tmp", _LIB)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        need_build = (not os.path.exists(_LIB)
+                      or os.path.getmtime(_LIB) < os.path.getmtime(_SRC))
+        if need_build and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            return None
+        c = ctypes.c_void_p
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.hypo_graph_new.restype = c
+        lib.hypo_graph_free.argtypes = [c]
+        lib.hypo_graph_add_alignment.argtypes = [
+            c, i32p, i32p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
+        lib.hypo_graph_align.restype = ctypes.c_int
+        lib.hypo_graph_align.argtypes = [
+            c, ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, i32p, i32p, ctypes.c_int]
+        lib.hypo_graph_num_nodes.restype = ctypes.c_int
+        lib.hypo_graph_num_nodes.argtypes = [c]
+        lib.hypo_graph_consensus.restype = ctypes.c_int
+        lib.hypo_graph_consensus.argtypes = [c, ctypes.c_char_p,
+                                             ctypes.c_int]
+        lib.hypo_graph_consensus_custom.restype = ctypes.c_int
+        lib.hypo_graph_consensus_custom.argtypes = [
+            c, ctypes.c_char_p, i32p, ctypes.c_int]
+        lib.hypo_graph_extract.restype = ctypes.c_int
+        lib.hypo_graph_extract.argtypes = [
+            c, ctypes.c_int, ctypes.c_int, i32p, i32p, i32p,
+            ctypes.POINTER(ctypes.c_uint8), i32p]
+        lib.hypo_window_consensus.restype = ctypes.c_int
+        lib.hypo_window_consensus.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+            i32p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _i32(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+class NativeGraph:
+    """Host-side graph with native merge/align/consensus — the
+    per-window state holder for the device POA runner."""
+
+    def __init__(self):
+        self._lib = _load()
+        self._h = self._lib.hypo_graph_new()
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.hypo_graph_free(self._h)
+            self._h = None
+
+    def num_nodes(self) -> int:
+        return self._lib.hypo_graph_num_nodes(self._h)
+
+    def add_alignment(self, alignment: List[Tuple[int, int]],
+                      seq: str) -> None:
+        n = len(alignment)
+        if n:
+            anode = np.fromiter((a for a, _ in alignment), np.int32, n)
+            aseq = np.fromiter((b for _, b in alignment), np.int32, n)
+        else:
+            anode = np.zeros(0, np.int32)
+            aseq = np.zeros(0, np.int32)
+        self._lib.hypo_graph_add_alignment(
+            self._h, _i32(anode), _i32(aseq), n, seq.encode("latin1"),
+            len(seq))
+
+    def align(self, seq: str, mode: int, m: int, n: int, g: int
+              ) -> List[Tuple[int, int]]:
+        cap = self.num_nodes() + len(seq) + 8
+        out_n = np.zeros(cap, np.int32)
+        out_s = np.zeros(cap, np.int32)
+        ln = self._lib.hypo_graph_align(
+            self._h, seq.encode("latin1"), len(seq), mode, m, n, g,
+            _i32(out_n), _i32(out_s), cap)
+        assert ln >= 0
+        return list(zip(out_n[:ln].tolist(), out_s[:ln].tolist()))
+
+    def consensus(self) -> str:
+        cap = self.num_nodes() + 8
+        buf = ctypes.create_string_buffer(cap)
+        ln = self._lib.hypo_graph_consensus(self._h, buf, cap)
+        assert ln >= 0
+        return buf.raw[:ln].decode("latin1")
+
+    # python-Graph-compatible aliases (used by the device runner)
+    generate_consensus = consensus
+
+    def consensus_custom(self) -> Tuple[str, List[int]]:
+        cap = self.num_nodes() + 8
+        buf = ctypes.create_string_buffer(cap)
+        dst = np.zeros(cap, np.int32)
+        ln = self._lib.hypo_graph_consensus_custom(self._h, buf,
+                                                   _i32(dst), cap)
+        assert ln >= 0
+        return buf.raw[:ln].decode("latin1"), dst[:ln].tolist()
+
+    generate_consensus_custom = consensus_custom
+
+    def extract(self, N: int, P: int):
+        """-> (node_code, pred_rows, pred_cnt, is_end, n_nodes, rank_ids)
+        or None on capacity overflow."""
+        node_code = np.zeros(N, np.int32)
+        pred_rows = np.zeros((N, P), np.int32)
+        pred_cnt = np.ones(N, np.int32)
+        is_end = np.zeros(N, np.uint8)
+        rank_ids = np.zeros(N, np.int32)
+        nn = self._lib.hypo_graph_extract(
+            self._h, N, P, _i32(node_code), _i32(pred_rows),
+            _i32(pred_cnt),
+            is_end.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            _i32(rank_ids))
+        if nn < 0:
+            return None
+        return (node_code, pred_rows, pred_cnt, is_end.astype(bool), nn,
+                rank_ids)
+
+
+INTERNAL_KIND, PREFIX_KIND, SUFFIX_KIND = 0, 1, 2
+
+
+def native_window_consensus(wtype: int, draft_codes: np.ndarray,
+                            arms: List[Tuple[np.ndarray, int]],
+                            num_internal: int, num_empty: int,
+                            scores: Tuple[int, int, int],
+                            fix_modes: bool = False) -> Optional[str]:
+    """Full window consensus in native code.  arms = [(codes, kind)] in
+    window order (internal, then prefix in ORIGINAL order, then suffix;
+    the native side applies the prefix reversal)."""
+    lib = _load()
+    if lib is None:
+        return None
+    from ..dna import decode
+    draft = decode(draft_codes).encode("latin1")
+    blobs = []
+    lens = np.zeros(len(arms), np.int32)
+    kinds = np.zeros(len(arms), np.int32)
+    for i, (codes, kind) in enumerate(arms):
+        s = decode(codes).encode("latin1")
+        blobs.append(s)
+        lens[i] = len(s)
+        kinds[i] = kind
+    cat = b"".join(blobs)
+    m, n, g = scores
+    total_arm = int(lens.sum())
+    cap = 2 * (len(draft) + total_arm) + 64
+    buf = ctypes.create_string_buffer(cap)
+    ln = lib.hypo_window_consensus(
+        wtype, draft, len(draft), cat, _i32(lens), _i32(kinds),
+        len(arms), num_internal, num_empty, m, n, g,
+        1 if fix_modes else 0, buf, cap)
+    if ln < 0:
+        return None
+    return buf.raw[:ln].decode("latin1")

@@ -21,9 +21,9 @@ from ..dna import decode
 from .align import PoaAligner
 from .engine import CURATE_THRESH, HEAD, TAIL
 from .graph import Graph
-from .jax_poa import (GLOBAL_CODE, LOV, NW, ROV, encode_global,
-                      extract_graph_arrays, poa_dp_batch,
-                      traceback_from_bp)
+from .jax_poa import (GLOBAL_CODE, LOV, NW, ROV, alignment_from_steps,
+                      encode_global, extract_graph_arrays,
+                      poa_dp_tb_batch)
 
 N_CAPS = (64, 128, 256, 512, 1024)
 L_CAPS = (64, 128, 256, 512, 1024)
@@ -40,11 +40,15 @@ def _cap_for(v: int, caps) -> Optional[int]:
 class _Job:
     __slots__ = ("window", "seqs", "scores", "graph", "cursor", "kind")
 
-    def __init__(self, window, seqs, scores, kind):
+    def __init__(self, window, seqs, scores, kind, use_native: bool):
         self.window = window
         self.seqs = seqs          # list of (seq_str, mode)
         self.scores = scores      # (m, n, g)
-        self.graph = Graph()
+        if use_native:
+            from ..native import NativeGraph
+            self.graph = NativeGraph()
+        else:
+            self.graph = Graph()
         self.cursor = 0
         self.kind = kind          # "short" | "long1" | "long2"
 
@@ -65,12 +69,17 @@ def _enable_compilation_cache() -> None:
 
 
 class DeviceConsensusRunner:
-    def __init__(self, sp: ScoreParams, fix_long_align_type: bool = False):
+    def __init__(self, sp: ScoreParams, fix_long_align_type: bool = False,
+                 use_native: bool = None):
         _enable_compilation_cache()
         self.sp = sp
         self.short_scores = (sp.sr_match, sp.sr_mismatch, sp.sr_gap)
         self.long_scores = (sp.lr_match, sp.lr_mismatch, sp.lr_gap)
         self.fix_long = fix_long_align_type
+        if use_native is None:
+            from ..native import available
+            use_native = available()
+        self.use_native = use_native
         self.stats = {"device_rounds": 0, "device_aligns": 0,
                       "host_fallbacks": 0}
 
@@ -103,7 +112,8 @@ class DeviceConsensusRunner:
             if not arms_added:
                 w.consensus = decode(w.draft)
                 return None
-            return _Job(w, seqs, self.short_scores, "short")
+            return _Job(w, seqs, self.short_scores, "short",
+                        self.use_native)
         return self._build_long_job(w, backbone=decode(w.draft),
                                     kind="long1")
 
@@ -130,7 +140,7 @@ class DeviceConsensusRunner:
         if not arms_added:
             w.consensus = decode(w.draft)
             return None
-        return _Job(w, seqs, self.long_scores, kind)
+        return _Job(w, seqs, self.long_scores, kind, self.use_native)
 
     # -- finalization ------------------------------------------------------
     def _finalize(self, job: _Job) -> Optional[_Job]:
@@ -149,13 +159,27 @@ class DeviceConsensusRunner:
     # -- host fallback ------------------------------------------------------
     def _host_finish(self, job: _Job) -> Optional[_Job]:
         self.stats["host_fallbacks"] += 1
-        aligner = PoaAligner(*job.scores)
-        while job.cursor < len(job.seqs):
-            seq, mode = job.seqs[job.cursor]
-            job.graph.add_alignment(aligner.align(seq, job.graph, mode),
-                                    seq)
-            job.cursor += 1
+        if isinstance(job.graph, Graph):
+            aligner = PoaAligner(*job.scores)
+            while job.cursor < len(job.seqs):
+                seq, mode = job.seqs[job.cursor]
+                job.graph.add_alignment(
+                    aligner.align(seq, job.graph, mode), seq)
+                job.cursor += 1
+        else:  # native graph aligns natively
+            m, n, g = job.scores
+            while job.cursor < len(job.seqs):
+                seq, mode = job.seqs[job.cursor]
+                job.graph.add_alignment(
+                    job.graph.align(seq, mode, m, n, g), seq)
+                job.cursor += 1
         return self._finalize(job)
+
+    @staticmethod
+    def _graph_size(graph) -> int:
+        if isinstance(graph, Graph):
+            return len(graph.nodes)
+        return graph.num_nodes()
 
     # -- main loop ----------------------------------------------------------
     def run_windows(self, windows) -> int:
@@ -185,7 +209,7 @@ class DeviceConsensusRunner:
                     nxt.append(job)
                     continue
                 seq, _mode = job.seqs[job.cursor]
-                ncap = _cap_for(len(job.graph.nodes), N_CAPS)
+                ncap = _cap_for(self._graph_size(job.graph), N_CAPS)
                 lcap = _cap_for(len(seq), L_CAPS)
                 if ncap is None or lcap is None:
                     spawned = self._host_finish(job)
@@ -214,12 +238,23 @@ class DeviceConsensusRunner:
         arm_len = np.ones(Bp, dtype=np.int32)
         mode = np.zeros(Bp, dtype=np.int32)
         overflow: List[int] = []
+        rank_ids: List[Optional[np.ndarray]] = [None] * Bp
         for b, job in enumerate(grp):
-            ext = extract_graph_arrays(job.graph, N, P_CAP)
-            if ext is None:  # P overflow
+            if isinstance(job.graph, Graph):
+                ext = extract_graph_arrays(job.graph, N, P_CAP)
+                if ext is not None:
+                    ext = ext + (np.array(job.graph.rank_to_node_id,
+                                          dtype=np.int32),)
+            else:
+                ext = job.graph.extract(N, P_CAP)
+                if ext is not None:
+                    nc0, pr0, pc0, ie0, nn0, rid0 = ext
+                    ext = (nc0, pr0, pc0, ie0, nn0, rid0[:nn0])
+            if ext is None:  # N or P overflow
                 overflow.append(b)
                 continue
-            nc, pr, pc, ie, nn = ext
+            nc, pr, pc, ie, nn, rid = ext
+            rank_ids[b] = rid
             node_code[b] = nc
             pred_rows[b] = pr
             pred_cnt[b] = pc
@@ -231,11 +266,12 @@ class DeviceConsensusRunner:
             arm_len[b] = len(codes)
             mode[b] = md
         m, n, g = scores
-        bp, max_row = poa_dp_batch(
+        ti, tj, steps, _max_row = poa_dp_tb_batch(
             node_code, pred_rows, pred_cnt, is_end, n_nodes, arm, arm_len,
             mode, N=N, L=L, P=P_CAP, m=m, n=n, g=g)
-        bp = np.asarray(bp)
-        max_row = np.asarray(max_row)
+        ti = np.asarray(ti)
+        tj = np.asarray(tj)
+        steps = np.asarray(steps)
         self.stats["device_rounds"] += 1
         self.stats["device_aligns"] += B - len(overflow)
         out: List[_Job] = []
@@ -247,9 +283,8 @@ class DeviceConsensusRunner:
                     out.append(spawned)
                 continue
             seq, md = job.seqs[job.cursor]
-            alignment = traceback_from_bp(
-                bp[b], pred_rows[b], job.graph.rank_to_node_id,
-                int(arm_len[b]), md, int(max_row[b]), P_CAP)
+            alignment = alignment_from_steps(ti[b], tj[b], int(steps[b]),
+                                             rank_ids[b])
             job.graph.add_alignment(alignment, seq)
             job.cursor += 1
             out.append(job)

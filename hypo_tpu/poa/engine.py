@@ -33,14 +33,23 @@ CURATE_THRESH = 0.4  # Window::_cThresh
 
 
 class ConsensusEngine:
-    """Per-thread/engine-free consensus generator for windows."""
+    """Per-thread/engine-free consensus generator for windows.
 
-    def __init__(self, sp: ScoreParams, fix_long_align_type: bool = False):
+    Prefers the native (C++) engine when its shared library is
+    available; results are identical to the Python oracle (tested)."""
+
+    def __init__(self, sp: ScoreParams, fix_long_align_type: bool = False,
+                 use_native: bool = None):
+        self.sp = sp
         self.short_aligner = PoaAligner(sp.sr_match, sp.sr_mismatch,
                                         sp.sr_gap)
         self.long_aligner = PoaAligner(sp.lr_match, sp.lr_mismatch,
                                        sp.lr_gap)
         self.fix_long_align_type = fix_long_align_type
+        if use_native is None:
+            from ..native import available
+            use_native = available()
+        self.use_native = use_native
 
     # -- dispatch (Window.cpp:44-61) --------------------------------------
     def generate_consensus(self, window) -> None:
@@ -49,6 +58,11 @@ class ConsensusEngine:
         if window.num_empty > num_non_empty:
             window.consensus = ""  # deletion wins
         elif num_non_empty >= 2:
+            if self.use_native:
+                out = self._native(window)
+                if out is not None:
+                    window.consensus = out
+                    return
             if window.wtype == 0:  # SHORT
                 window.consensus = self._short(window)
             else:
@@ -56,6 +70,20 @@ class ConsensusEngine:
                                               prev=None)
         else:
             window.consensus = decode(window.draft)
+
+    def _native(self, window):
+        from ..native import native_window_consensus
+        from ..native.api import (INTERNAL_KIND, PREFIX_KIND, SUFFIX_KIND)
+        sp = self.sp
+        scores = ((sp.sr_match, sp.sr_mismatch, sp.sr_gap)
+                  if window.wtype == 0 else
+                  (sp.lr_match, sp.lr_mismatch, sp.lr_gap))
+        arms = ([(a, INTERNAL_KIND) for a in window.internal_arms]
+                + [(a, PREFIX_KIND) for a in window.pre_arms]
+                + [(a, SUFFIX_KIND) for a in window.suf_arms])
+        return native_window_consensus(
+            window.wtype, window.draft, arms, window.num_internal,
+            window.num_empty, scores, self.fix_long_align_type)
 
     # -- short path (Window.cpp:87-154) -----------------------------------
     def _short(self, window) -> str:

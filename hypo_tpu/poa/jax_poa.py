@@ -53,55 +53,124 @@ def poa_dp_batch(node_code, pred_rows, pred_cnt, is_end, n_nodes, arm,
     Returns (bp [B,N+1,L+1] int8, max_row [B] i32).  bp codes:
     0..P-1 diag via pred p, P..2P-1 vertical via pred p, 2P horizontal.
     """
-    jj = jnp.arange(L + 1, dtype=jnp.int32)
-    parange = jnp.arange(P, dtype=jnp.int32)
-
     def one(node_code, pred_rows, pred_cnt, is_end, n_nodes, arm, arm_len,
             mode):
-        H0 = jj * g
-        H = jnp.full((N + 1, L + 1), NEG, dtype=jnp.int32)
-        H = H.at[0].set(H0)
-
-        def row_step(H, r):
-            code = node_code[r]
-            prows = pred_rows[r]
-            pvalid = parange < pred_cnt[r]
-            Hp = jnp.where(pvalid[:, None], H[prows], NEG)  # [P, L+1]
-            prof = jnp.where(arm == code, m, n)             # [L]
-            diag = Hp[:, :-1] + prof[None, :]
-            vert = Hp[:, 1:] + g
-            tmp = jnp.max(jnp.maximum(diag, vert), axis=0)  # [L]
-            col0 = jnp.where(mode == ROV, 0,
-                             jnp.max(Hp[:, 0]) + g).astype(jnp.int32)
-            val = jnp.concatenate([col0[None], tmp])
-            run = jax.lax.cummax(val - jj * g)
-            row = run + jj * g                               # final H row
-            h = row[1:]
-            diag_hit = (diag == h[None, :]) & pvalid[:, None]
-            vert_hit = (vert == h[None, :]) & pvalid[:, None]
-            horiz_hit = (row[:-1] + g == h)[None, :]
-            cand = jnp.concatenate([diag_hit, vert_hit, horiz_hit], 0)
-            bp_j = jnp.argmax(cand, axis=0).astype(jnp.int8)
-            vert0 = (Hp[:, 0] + g == col0) & pvalid
-            bp_0 = (P + jnp.argmax(vert0)).astype(jnp.int8)
-            bp_row = jnp.concatenate([bp_0[None], bp_j])
-            H = jax.lax.dynamic_update_slice(H, row[None, :],
-                                             (r + 1, 0))
-            return H, bp_row
-
-        H, bp_rows = jax.lax.scan(row_step, H,
-                                  jnp.arange(N, dtype=jnp.int32))
-        at_L = H[1:, arm_len]                               # rows 1..N
-        valid_row = jnp.arange(N) < n_nodes
-        elig = jnp.where(mode == LOV, valid_row, valid_row & is_end)
-        masked = jnp.where(elig, at_L, NEG)
-        max_row = (jnp.argmax(masked) + 1).astype(jnp.int32)
-        bp = jnp.concatenate(
-            [jnp.zeros((1, L + 1), jnp.int8), bp_rows], axis=0)
-        return bp, max_row
+        return _dp_one(node_code, pred_rows, pred_cnt, is_end, n_nodes,
+                       arm, arm_len, mode, N=N, L=L, P=P, m=m, n=n, g=g)
 
     return jax.vmap(one)(node_code, pred_rows, pred_cnt, is_end, n_nodes,
                          arm, arm_len, mode)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("N", "L", "P", "m", "n", "g"))
+def poa_dp_tb_batch(node_code, pred_rows, pred_cnt, is_end, n_nodes, arm,
+                    arm_len, mode, *, N: int, L: int, P: int, m: int,
+                    n: int, g: int):
+    """DP + in-kernel traceback.  Returns (ti, tj, steps, max_row):
+    ti [B,S] int16 = emitted graph rank or -1 per step (backward order),
+    tj [B,S] int16 = emitted query index or -1, steps [B] int32.
+    S = N + L + 1.  Host converts ranks to node ids and reverses."""
+    S = N + L + 1
+
+    def one(node_code, pred_rows, pred_cnt, is_end, n_nodes, arm,
+            arm_len, mode):
+        bp, max_row = _dp_one(node_code, pred_rows, pred_cnt, is_end,
+                              n_nodes, arm, arm_len, mode,
+                              N=N, L=L, P=P, m=m, n=n, g=g)
+
+        def cond(state):
+            i, j, t, _ti, _tj = state
+            stop_nw = (i == 0) & (j == 0)
+            stop_rov = (i == 0) | (j == 0)
+            stop = jnp.where(mode == ROV, stop_rov, stop_nw)
+            return (~stop) & (t < S)
+
+        def body(state):
+            i, j, t, ti, tj = state
+            code = bp[i, j].astype(jnp.int32)
+            is_vert = (code >= P) & (code < 2 * P)
+            is_horiz = code == 2 * P
+            pidx = jnp.where(code < P, code, code - P)
+            pred = pred_rows[jnp.maximum(i - 1, 0), pidx]
+            prev_i = jnp.where(is_horiz, i, pred)
+            prev_j = jnp.where(is_vert, j, j - 1)
+            # row 0: only horizontal moves are possible
+            prev_i = jnp.where(i == 0, 0, prev_i)
+            prev_j = jnp.where(i == 0, j - 1, prev_j)
+            emit_rank = jnp.where(prev_i == i, -1, i - 1)
+            emit_seq = jnp.where(prev_j == j, -1, j - 1)
+            ti = ti.at[t].set(emit_rank.astype(jnp.int16))
+            tj = tj.at[t].set(emit_seq.astype(jnp.int16))
+            return (prev_i, prev_j, t + 1, ti, tj)
+
+        ti0 = jnp.full((S,), -2, dtype=jnp.int16)
+        tj0 = jnp.full((S,), -2, dtype=jnp.int16)
+        i0 = max_row
+        j0 = arm_len
+        i_f, j_f, t_f, ti, tj = jax.lax.while_loop(
+            cond, body, (i0, j0, jnp.int32(0), ti0, tj0))
+        return ti, tj, t_f, max_row
+
+    return jax.vmap(one)(node_code, pred_rows, pred_cnt, is_end, n_nodes,
+                         arm, arm_len, mode)
+
+
+def _dp_one(node_code, pred_rows, pred_cnt, is_end, n_nodes, arm,
+            arm_len, mode, *, N, L, P, m, n, g):
+    """Single-window DP (shared by poa_dp_batch and poa_dp_tb_batch)."""
+    jj = jnp.arange(L + 1, dtype=jnp.int32)
+    parange = jnp.arange(P, dtype=jnp.int32)
+    H0 = jj * g
+    H = jnp.full((N + 1, L + 1), NEG, dtype=jnp.int32)
+    H = H.at[0].set(H0)
+
+    def row_step(H, r):
+        code = node_code[r]
+        prows = pred_rows[r]
+        pvalid = parange < pred_cnt[r]
+        Hp = jnp.where(pvalid[:, None], H[prows], NEG)
+        prof = jnp.where(arm == code, m, n)
+        diag = Hp[:, :-1] + prof[None, :]
+        vert = Hp[:, 1:] + g
+        tmp = jnp.max(jnp.maximum(diag, vert), axis=0)
+        col0 = jnp.where(mode == ROV, 0,
+                         jnp.max(Hp[:, 0]) + g).astype(jnp.int32)
+        val = jnp.concatenate([col0[None], tmp])
+        run = jax.lax.cummax(val - jj * g)
+        row = run + jj * g
+        h = row[1:]
+        diag_hit = (diag == h[None, :]) & pvalid[:, None]
+        vert_hit = (vert == h[None, :]) & pvalid[:, None]
+        horiz_hit = (row[:-1] + g == h)[None, :]
+        cand = jnp.concatenate([diag_hit, vert_hit, horiz_hit], 0)
+        bp_j = jnp.argmax(cand, axis=0).astype(jnp.int8)
+        vert0 = (Hp[:, 0] + g == col0) & pvalid
+        bp_0 = (P + jnp.argmax(vert0)).astype(jnp.int8)
+        bp_row = jnp.concatenate([bp_0[None], bp_j])
+        H = jax.lax.dynamic_update_slice(H, row[None, :], (r + 1, 0))
+        return H, bp_row
+
+    H, bp_rows = jax.lax.scan(row_step, H,
+                              jnp.arange(N, dtype=jnp.int32))
+    at_L = H[1:, arm_len]
+    valid_row = jnp.arange(N) < n_nodes
+    elig = jnp.where(mode == LOV, valid_row, valid_row & is_end)
+    masked = jnp.where(elig, at_L, NEG)
+    max_row = (jnp.argmax(masked) + 1).astype(jnp.int32)
+    bp = jnp.concatenate([jnp.zeros((1, L + 1), jnp.int8), bp_rows],
+                         axis=0)
+    return bp, max_row
+
+
+def alignment_from_steps(ti: np.ndarray, tj: np.ndarray, steps: int,
+                         rank_ids: np.ndarray) -> List[Tuple[int, int]]:
+    """Convert a device traceback (backward order, ranks) into the
+    alignment pair list (forward order, node ids), vectorized."""
+    ti = ti[:steps][::-1].astype(np.int64)
+    tj = tj[:steps][::-1].astype(np.int64)
+    nodes = np.where(ti < 0, -1, rank_ids[np.maximum(ti, 0)])
+    return list(zip(nodes.tolist(), tj.tolist()))
 
 
 def traceback_from_bp(bp: np.ndarray, pred_rows: np.ndarray,
