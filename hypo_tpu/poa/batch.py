@@ -27,6 +27,7 @@ from .jax_poa import (GLOBAL_CODE, LOV, NW, ROV, alignment_from_steps,
 
 N_CAPS = (64, 128, 256, 512, 1024)
 L_CAPS = (64, 128, 256, 512, 1024)
+P_CAPS = (1, 2, 4, 8)
 P_CAP = 8
 
 
@@ -38,7 +39,8 @@ def _cap_for(v: int, caps) -> Optional[int]:
 
 
 class _Job:
-    __slots__ = ("window", "seqs", "scores", "graph", "cursor", "kind")
+    __slots__ = ("window", "seqs", "scores", "graph", "cursor", "kind",
+                 "ext")
 
     def __init__(self, window, seqs, scores, kind, use_native: bool):
         self.window = window
@@ -51,6 +53,7 @@ class _Job:
             self.graph = Graph()
         self.cursor = 0
         self.kind = kind          # "short" | "long1" | "long2"
+        self.ext = None           # cached graph arrays for this round
 
 
 def _enable_compilation_cache() -> None:
@@ -211,52 +214,59 @@ class DeviceConsensusRunner:
                 seq, _mode = job.seqs[job.cursor]
                 ncap = _cap_for(self._graph_size(job.graph), N_CAPS)
                 lcap = _cap_for(len(seq), L_CAPS)
-                if ncap is None or lcap is None:
+                job.ext = (None if ncap is None
+                           else self._extract(job, ncap))
+                if lcap is None or job.ext is None:
                     spawned = self._host_finish(job)
                     if spawned is not None:
                         nxt.append(spawned)
                     continue
-                groups.setdefault((job.scores, ncap, lcap), []).append(job)
-            for (scores, ncap, lcap), grp in groups.items():
-                nxt.extend(self._run_group(grp, scores, ncap, lcap))
+                pcap = _cap_for(int(job.ext[2].max()), P_CAPS)
+                groups.setdefault((job.scores, ncap, lcap, pcap),
+                                  []).append(job)
+            for (scores, ncap, lcap, pcap), grp in groups.items():
+                nxt.extend(self._run_group(grp, scores, ncap, lcap, pcap))
             active = nxt
         return count
+
+    @staticmethod
+    def _extract(job: _Job, N: int):
+        """Flatten the job's graph to DP arrays (node_code, pred_rows,
+        pred_cnt, is_end, n_nodes, rank_ids) or None on N/P overflow."""
+        if isinstance(job.graph, Graph):
+            ext = extract_graph_arrays(job.graph, N, P_CAP)
+            if ext is None:
+                return None
+            return ext + (np.array(job.graph.rank_to_node_id,
+                                   dtype=np.int32),)
+        ext = job.graph.extract(N, P_CAP)
+        if ext is None:
+            return None
+        nc0, pr0, pc0, ie0, nn0, rid0 = ext
+        return (nc0, pr0, pc0, ie0, nn0, rid0[:nn0])
 
     def run_contig(self, contig, _engine=None) -> int:
         return self.run_windows(contig.windows)
 
-    def _run_group(self, grp: List[_Job], scores, N: int,
-                   L: int) -> List[_Job]:
+    def _run_group(self, grp: List[_Job], scores, N: int, L: int,
+                   Pb: int) -> List[_Job]:
         B = len(grp)
         Bp = 1 << max(0, (B - 1).bit_length())  # pad to a power of two
         node_code = np.zeros((Bp, N), dtype=np.int32)
-        pred_rows = np.zeros((Bp, N, P_CAP), dtype=np.int32)
+        pred_rows = np.zeros((Bp, N, Pb), dtype=np.int32)
         pred_cnt = np.ones((Bp, N), dtype=np.int32)
         is_end = np.zeros((Bp, N), dtype=bool)
         n_nodes = np.zeros(Bp, dtype=np.int32)
         arm = np.zeros((Bp, L), dtype=np.int32)
         arm_len = np.ones(Bp, dtype=np.int32)
         mode = np.zeros(Bp, dtype=np.int32)
-        overflow: List[int] = []
         rank_ids: List[Optional[np.ndarray]] = [None] * Bp
         for b, job in enumerate(grp):
-            if isinstance(job.graph, Graph):
-                ext = extract_graph_arrays(job.graph, N, P_CAP)
-                if ext is not None:
-                    ext = ext + (np.array(job.graph.rank_to_node_id,
-                                          dtype=np.int32),)
-            else:
-                ext = job.graph.extract(N, P_CAP)
-                if ext is not None:
-                    nc0, pr0, pc0, ie0, nn0, rid0 = ext
-                    ext = (nc0, pr0, pc0, ie0, nn0, rid0[:nn0])
-            if ext is None:  # N or P overflow
-                overflow.append(b)
-                continue
-            nc, pr, pc, ie, nn, rid = ext
+            nc, pr, pc, ie, nn, rid = job.ext
+            job.ext = None
             rank_ids[b] = rid
             node_code[b] = nc
-            pred_rows[b] = pr
+            pred_rows[b] = pr[:, :Pb]
             pred_cnt[b] = pc
             is_end[b] = ie
             n_nodes[b] = nn
@@ -268,20 +278,14 @@ class DeviceConsensusRunner:
         m, n, g = scores
         ti, tj, steps, _max_row = poa_dp_tb_batch(
             node_code, pred_rows, pred_cnt, is_end, n_nodes, arm, arm_len,
-            mode, N=N, L=L, P=P_CAP, m=m, n=n, g=g)
+            mode, N=N, L=L, P=Pb, m=m, n=n, g=g)
         ti = np.asarray(ti)
         tj = np.asarray(tj)
         steps = np.asarray(steps)
         self.stats["device_rounds"] += 1
-        self.stats["device_aligns"] += B - len(overflow)
+        self.stats["device_aligns"] += B
         out: List[_Job] = []
-        overflow_set = set(overflow)
         for b, job in enumerate(grp):
-            if b in overflow_set:
-                spawned = self._host_finish(job)
-                if spawned is not None:
-                    out.append(spawned)
-                continue
             seq, md = job.seqs[job.cursor]
             alignment = alignment_from_steps(ti[b], tj[b], int(steps[b]),
                                              rank_ids[b])

@@ -128,8 +128,12 @@ def _dp_one(node_code, pred_rows, pred_cnt, is_end, n_nodes, arm,
     def row_step(H, r):
         code = node_code[r]
         prows = pred_rows[r]
-        pvalid = parange < pred_cnt[r]
-        Hp = jnp.where(pvalid[:, None], H[prows], NEG)
+        if P == 1:
+            # every node carries >= 1 predecessor entry, so no masking
+            Hp = H[prows]
+        else:
+            pvalid = parange < pred_cnt[r]
+            Hp = jnp.where(pvalid[:, None], H[prows], NEG)
         prof = jnp.where(arm == code, m, n)
         diag = Hp[:, :-1] + prof[None, :]
         vert = Hp[:, 1:] + g
@@ -140,14 +144,20 @@ def _dp_one(node_code, pred_rows, pred_cnt, is_end, n_nodes, arm,
         run = jax.lax.cummax(val - jj * g)
         row = run + jj * g
         h = row[1:]
-        diag_hit = (diag == h[None, :]) & pvalid[:, None]
-        vert_hit = (vert == h[None, :]) & pvalid[:, None]
-        horiz_hit = (row[:-1] + g == h)[None, :]
-        cand = jnp.concatenate([diag_hit, vert_hit, horiz_hit], 0)
-        bp_j = jnp.argmax(cand, axis=0).astype(jnp.int8)
-        vert0 = (Hp[:, 0] + g == col0) & pvalid
-        bp_0 = (P + jnp.argmax(vert0)).astype(jnp.int8)
-        bp_row = jnp.concatenate([bp_0[None], bp_j])
+        # tie-exact backpointers by priority select chain (first hit in
+        # [diag p0..pP-1, vert p0..pP-1, horiz] wins — the reference's
+        # traceback order, sisd_alignment_engine.cpp:363-428).  Invalid
+        # predecessor slots hold NEG-ish scores and can never equal h.
+        bp_j = jnp.full(h.shape, 2 * P, dtype=jnp.int8)
+        for p in range(P - 1, -1, -1):
+            bp_j = jnp.where(vert[p] == h, jnp.int8(P + p), bp_j)
+        for p in range(P - 1, -1, -1):
+            bp_j = jnp.where(diag[p] == h, jnp.int8(p), bp_j)
+        bp_0 = jnp.int8(P)
+        if P > 1:
+            vert0 = (Hp[:, 0] + g == col0)
+            bp_0 = (P + jnp.argmax(vert0)).astype(jnp.int8)
+        bp_row = jnp.concatenate([jnp.broadcast_to(bp_0, (1,)), bp_j])
         H = jax.lax.dynamic_update_slice(H, row[None, :], (r + 1, 0))
         return H, bp_row
 
