@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-i", "--intermed", action="store_true")
     ap.add_argument("--device-poa", action="store_true",
                     help="run window consensus on the JAX device path")
+    ap.add_argument("--device-poa-mode", default="full",
+                    choices=["full", "exact"],
+                    help="full: whole POA on device (one dispatch per "
+                         "window bucket); exact: per-round device DP, "
+                         "bit-identical to the host engine")
     ap.add_argument("--aux-dir", default="aux")
     return ap
 
@@ -95,6 +100,7 @@ def flags_from_args(args) -> InputFlags:
         kind=args.kind_sr,
         aux_dir=args.aux_dir,
         use_device_poa=args.device_poa,
+        device_poa_mode=args.device_poa_mode,
     )
     return flags
 

@@ -103,6 +103,11 @@ class InputFlags:
         default_factory=WindowSettings)
     # device/bench knobs (no reference equivalent)
     use_device_poa: bool = False
+    # "full": entire POA on device, one dispatch per bucket (column-POA
+    #         tie-breaking, hypo_tpu.poa.device_full)
+    # "exact": per-arm-round device DP with host merges; bit-identical
+    #          to the host oracle engine
+    device_poa_mode: str = "full"
     seed: int = 0
 
     def __post_init__(self):

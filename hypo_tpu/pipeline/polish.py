@@ -218,8 +218,12 @@ class Polisher:
         mon.start()
         nwin = 0
         if f.use_device_poa:
-            from ..poa.batch import DeviceConsensusRunner
-            runner = DeviceConsensusRunner(f.score_params)
+            if f.device_poa_mode == "full":
+                from ..poa.full_runner import FullDeviceRunner
+                runner = FullDeviceRunner(f.score_params)
+            else:
+                from ..poa.batch import DeviceConsensusRunner
+                runner = DeviceConsensusRunner(f.score_params)
             all_windows = [w for cid in range(lo, hi)
                            for w in self.contigs[cid].windows
                            if w is not None]

@@ -162,6 +162,11 @@ class DeviceConsensusRunner:
     # -- host fallback ------------------------------------------------------
     def _host_finish(self, job: _Job) -> Optional[_Job]:
         self.stats["host_fallbacks"] += 1
+        if job.cursor == 0:
+            # first sequence needs no alignment (empty graph)
+            seq, _mode = job.seqs[0]
+            job.graph.add_alignment([], seq)
+            job.cursor = 1
         if isinstance(job.graph, Graph):
             aligner = PoaAligner(*job.scores)
             while job.cursor < len(job.seqs):
