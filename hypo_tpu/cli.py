@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "window bucket); exact: per-round device DP, "
                          "bit-identical to the host engine")
     ap.add_argument("--aux-dir", default="aux")
+    ap.add_argument("--inspect", action="store_true",
+                    help="write aux/regions.bed and aux/inspect.txt "
+                         "(reference generate_inspect_file artifacts)")
     return ap
 
 
@@ -101,6 +104,7 @@ def flags_from_args(args) -> InputFlags:
         aux_dir=args.aux_dir,
         use_device_poa=args.device_poa,
         device_poa_mode=args.device_poa_mode,
+        inspect=args.inspect,
     )
     return flags
 

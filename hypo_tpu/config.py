@@ -99,6 +99,7 @@ class InputFlags:
     kind: str = "sr"  # -k {sr, ccs}
     legacy_dead_set_kind: bool = False  # reproduce main.cpp:312 dead call
     aux_dir: str = "aux"
+    inspect: bool = False  # write aux/regions.bed + aux/inspect.txt
     window_settings: WindowSettings = dataclasses.field(
         default_factory=WindowSettings)
     # device/bench knobs (no reference equivalent)

@@ -222,6 +222,33 @@ class Contig:
         self.pseudo_types = None
         self.true_reg_id = None
 
+    # -- inspection artifacts (Contig.cpp:368-453) -------------------------
+    def write_bed(self, fh) -> None:
+        """Append this contig's region map as BED lines
+        (reference generate_inspect_file writes aux/regions.bed)."""
+        for i in range(self.num_regions()):
+            fh.write(f"{self.name}\t{int(self.reg_starts[i])}\t"
+                     f"{int(self.reg_starts[i + 1])}\t"
+                     f"{RegionType.NAMES[self.reg_type[i]]}\n")
+
+    def write_window_dump(self, fh) -> None:
+        """Per-window dump: range, type, arm counts, draft, consensus
+        (reference generate_inspect_file's second artifact)."""
+        for i in range(self.num_regions()):
+            t = self.reg_type[i]
+            s, e = int(self.reg_starts[i]), int(self.reg_starts[i + 1])
+            w = self.windows[i]
+            if w is None:
+                fh.write(f"#{i}\t{self.name}:{s}-{e}\t"
+                         f"{RegionType.NAMES[t]}\t-\n")
+                continue
+            fh.write(f"#{i}\t{self.name}:{s}-{e}\t{RegionType.NAMES[t]}\t"
+                     f"int={w.num_internal} pre={w.num_pre} "
+                     f"suf={w.num_suf} empty={w.num_empty}\n")
+            fh.write(f"  draft\t{decode(w.draft)}\n")
+            if w.consensus is not None:
+                fh.write(f"  cons\t{w.consensus}\n")
+
     # -- output (Contig.cpp:345-366) --------------------------------------
     def polished_seq(self, no_long_reads: bool) -> str:
         parts: List[str] = []

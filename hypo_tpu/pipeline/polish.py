@@ -237,6 +237,16 @@ class Polisher:
                         nwin += 1
         mon.stop(f"[hypo_tpu] POA over {nwin} windows. ")
 
+        if f.inspect:
+            os.makedirs(f.aux_dir, exist_ok=True)
+            mode = "w" if lo == 0 else "a"
+            with open(os.path.join(f.aux_dir, "regions.bed"), mode) as fh:
+                for cid in range(lo, hi):
+                    self.contigs[cid].write_bed(fh)
+            with open(os.path.join(f.aux_dir, "inspect.txt"), mode) as fh:
+                for cid in range(lo, hi):
+                    self.contigs[cid].write_window_dump(fh)
+
 
 def polish(flags: InputFlags) -> None:
     Polisher(flags).polish()

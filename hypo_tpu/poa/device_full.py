@@ -77,12 +77,15 @@ def init_state(N: int, P: int) -> PoaState:
 
 
 def _rank_arrays(st: PoaState, N: int):
-    """Topological order: sort nodes by (column position, node id)."""
+    """Topological order: sort nodes by (column position, node id).
+    rank_of is the inverse permutation, computed as a second argsort —
+    TPU scatters serialize per index, sorts don't."""
     idx = jnp.arange(N, dtype=jnp.int32)
     nvalid = idx < st.n_nodes
     key = jnp.where(nvalid, st.col_pos[st.node_col] * N + idx, BIG)
     order = jnp.argsort(key).astype(jnp.int32)
-    rank_of = jnp.zeros(N, jnp.int32).at[order].set(idx)
+    rank_of = _idx_set(jnp.zeros(N, jnp.int32), order,
+                       jnp.ones(N, bool), idx, N)
     pred_nd_r = st.pred_nd[order]                       # [N, P] node ids
     pred_ranks = jnp.where(pred_nd_r >= 0,
                            rank_of[jnp.maximum(pred_nd_r, 0)], -1)
@@ -183,6 +186,29 @@ def _traceback_matched(bp, pred_rows, arm_len, mode, max_row, *, N, L, P):
     return matched
 
 
+def _eq(idx, mask, M: int):
+    """[L, M] hit matrix for masked indices.  TPU scatters lower to
+    per-index serial updates; a compare+reduce fuses into one vector
+    pass with no materialized intermediate, so every merge update below
+    is built on this."""
+    sel = jnp.where(mask, idx, -1)
+    return sel[:, None] == jnp.arange(M, dtype=jnp.int32)[None, :]
+
+
+def _idx_set(old, idx, mask, vals, M: int):
+    """old[i] := vals[l] where idx[l] == i & mask[l] (unique hits)."""
+    eq = _eq(idx, mask, M)
+    val = jnp.max(jnp.where(eq, vals[:, None], NEG), axis=0)
+    cov = jnp.any(eq, axis=0)
+    return jnp.where(cov, val.astype(old.dtype), old)
+
+
+def _idx_add(old, idx, mask, M: int):
+    """old[i] += #{l : idx[l] == i & mask[l]}."""
+    add = jnp.sum(_eq(idx, mask, M), axis=0)
+    return old + add.astype(old.dtype)
+
+
 def _merge(st: PoaState, matched, arm, arm_len, *, N, L, P):
     """Vectorized graph merge of one aligned arm (colpoa_ref.ColPoa.add).
     Returns (new state, overflowed bool)."""
@@ -207,30 +233,35 @@ def _merge(st: PoaState, matched, arm, arm_len, *, N, L, P):
     n_new_cols = newcol_ord[L - 1]
     ovf = (st.n_nodes + n_new_nodes > N) | (st.n_cols + n_new_cols > N)
 
-    # column insertion keys: position of last matched column before j
+    # column renumbering, arithmetically (no sort): every inserted run
+    # of columns is anchored after the last matched column position
+    # ("lastpos", the column-key scheme in colpoa_ref); an existing
+    # column at position p shifts by the number of insertions anchored
+    # strictly before p, and inserted column t of the run anchored at q
+    # lands at q + shift(q) + t.  Positions use the state BEFORE this
+    # arm (matched column positions are unchanged during the merge).
     mpos = jnp.where(is_match, st.col_pos[c_match], -BIG)
     lastpos = jnp.maximum(jax.lax.cummax(mpos), -1)
     lastj = jax.lax.cummax(jnp.where(is_match, jj, -1))
-    Lpad = L + 2
-    key_new = lastpos * Lpad + (jj - lastj)
-    # new column keys must come from the state BEFORE this arm (matched
-    # column positions are unchanged during the merge)
+    hist = _idx_add(jnp.zeros(N + 1, jnp.int32), lastpos + 1, is_ins,
+                    N + 1)
+    cs = jnp.cumsum(hist)            # cs[q+1] = #ins anchored at <= q
     cidx = jnp.arange(N, dtype=jnp.int32)
-    keys = jnp.where(cidx < st.n_cols, st.col_pos * Lpad, BIG)
-    keys = keys.at[jnp.where(is_ins, new_col_id, N)].set(
-        key_new, mode='drop')
-    order_c = jnp.argsort(keys)
-    col_pos = jnp.zeros(N, jnp.int32).at[order_c].set(cidx)
+    col_pos_exist = jnp.where(
+        cidx < st.n_cols,
+        st.col_pos + cs[jnp.minimum(st.col_pos, N)], st.col_pos)
+    anchor_shift = jnp.where(lastpos >= 0,
+                             cs[jnp.maximum(lastpos, 0)], 0)
+    pos_new = lastpos + anchor_shift + (jj - lastj)
+    col_pos = _idx_set(col_pos_exist, new_col_id, is_ins, pos_new, N)
 
-    # node scatters (all target indices unique; see colpoa_ref docstring)
-    nidx = jnp.where(creates_node, node_j, N)
-    node_code = st.node_code.at[nidx].set(arm, mode='drop')
-    node_col = st.node_col.at[nidx].set(col_j, mode='drop')
-    col_node = st.col_node.reshape(-1).at[
-        jnp.where(creates_node, col_j * NCODES + arm, N * NCODES)].set(
-            node_j, mode='drop').reshape(N, NCODES)
-    node_sup = st.node_sup.at[jnp.where(valid_j, node_j, N)].add(
-        1, mode='drop')
+    # node updates (all target indices unique; see colpoa_ref docstring)
+    node_code = _idx_set(st.node_code, node_j, creates_node, arm, N)
+    node_col = _idx_set(st.node_col, node_j, creates_node, col_j, N)
+    node_sup = _idx_add(st.node_sup, node_j, valid_j, N)
+    col_node = _idx_set(
+        st.col_node.reshape(-1), col_j * NCODES + arm, creates_node,
+        node_j, N * NCODES).reshape(N, NCODES)
 
     # edge upserts between consecutive emitted bases
     u = jnp.concatenate([jnp.full((1,), -1, jnp.int32), node_j[:-1]])
@@ -243,16 +274,14 @@ def _merge(st: PoaState, matched, arm, arm_len, *, N, L, P):
     slot = jnp.where(has, jnp.argmax(hit, axis=1), vcnt)
     ovf = ovf | jnp.any(edge_valid & ~has & (slot >= P))
     slot_c = jnp.minimum(slot, P - 1)
-    flat = jnp.where(edge_valid, v * P + slot_c, N * P)
-    pred_w = st.pred_w.reshape(-1).at[flat].add(
-        1, mode='drop').reshape(N, P)
-    pred_nd = st.pred_nd.reshape(-1).at[flat].set(
-        u, mode='drop').reshape(N, P)
+    eflat = v * P + slot_c
+    pred_w = _idx_add(st.pred_w.reshape(-1), eflat, edge_valid,
+                      N * P).reshape(N, P)
     newslot = edge_valid & ~has
-    pred_cnt = st.pred_cnt.at[jnp.where(newslot, v, N)].add(
-        1, mode='drop')
-    out_cnt = st.out_cnt.at[jnp.where(newslot, u, N)].add(
-        1, mode='drop')
+    pred_nd = _idx_set(st.pred_nd.reshape(-1), eflat, newslot, u,
+                       N * P).reshape(N, P)
+    pred_cnt = _idx_add(st.pred_cnt, v, newslot, N)
+    out_cnt = _idx_add(st.out_cnt, u, newslot, N)
 
     new_st = PoaState(
         node_code=node_code, node_col=node_col, node_sup=node_sup,
@@ -357,11 +386,12 @@ def _consensus(st: PoaState, *, N, P, max_branch_iters=None):
         succ = jnp.any(
             (pred_ranks == rank0) & (parange[None, :] <
                                      pred_cnt_r[:, None]), axis=1)
-        ban_pr = jnp.where(
-            succ[:, None] & (pred_ranks >= 0) & (pred_ranks != rank0)
-            & (parange[None, :] < pred_cnt_r[:, None]),
-            pred_ranks, N)
-        scores = scores.at[ban_pr.reshape(-1)].set(-1, mode='drop')
+        ban_mask = (succ[:, None] & (pred_ranks >= 0)
+                    & (pred_ranks != rank0)
+                    & (parange[None, :] < pred_cnt_r[:, None]))
+        banned = jnp.any(_eq(pred_ranks.reshape(-1),
+                             ban_mask.reshape(-1), N), axis=0)
+        scores = jnp.where(banned, -1, scores)
 
         def re_step(carry, r):
             scores, preds, max_sc, max_r2 = carry
