@@ -95,6 +95,24 @@ def canonical_kmers(kmers: np.ndarray, k: int) -> np.ndarray:
     return np.minimum(kmers, revcomp_kmers(kmers, k))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=65536)
+def kmer_to_bytes(val: int, k: int) -> bytes:
+    """Packed k-mer value -> its k-byte code pattern (codes 0..3).
+
+    Byte-wise equality with a code array's ``tobytes()`` view is exactly
+    the reference's PackedSeq::check_kmer / find_kmer match (N bases have
+    code 4 and can never equal a pattern byte, reproducing the validity
+    mask for free)."""
+    out = bytearray(k)
+    for i in range(k - 1, -1, -1):
+        out[i] = val & 3
+        val >>= 2
+    return bytes(out)
+
+
 def check_kmer(codes: np.ndarray, target: int, k: int, ind: int) -> bool:
     """Does the k-mer equal to `target` END anywhere while scanning
     codes[ind:ind+k]?  Faithful to reference PackedSeq::check_kmer

@@ -46,6 +46,11 @@ class KmerCounter:
 
     def add_codes(self, codes: np.ndarray) -> None:
         """Add every valid canonical k-mer of a code array (N breaks runs)."""
+        if self.dense:
+            from ..native import host_api
+            if host_api.available():
+                host_api.count_kmers_dense(codes, self.k, self._table)
+                return
         km, valid = kmer_codes(codes, self.k)
         km = km[valid]
         if len(km) == 0:

@@ -1,0 +1,151 @@
+"""ctypes bindings for the native host runtime (host_native.cpp).
+
+Built on demand with g++ (OpenMP).  Callers check ``available()`` and
+fall back to the pure-NumPy implementations in hypo_tpu.segment.support
+and hypo_tpu.kmers.counting when the toolchain is missing.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "host_native.cpp")
+_LIB = os.path.join(_DIR, "libhypo_host.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_u32p = ctypes.POINTER(ctypes.c_uint32)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fopenmp",
+           "-march=native", _SRC, "-o", _LIB + ".tmp"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        os.replace(_LIB + ".tmp", _LIB)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        need_build = (not os.path.exists(_LIB)
+                      or os.path.getmtime(_LIB) < os.path.getmtime(_SRC))
+        if need_build and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            return None
+        lib.hypo_count_kmers_dense.argtypes = [
+            _u8p, ctypes.c_int64, ctypes.c_int, _u32p, ctypes.c_int]
+        lib.hypo_skmer_support.argtypes = [
+            _i64p, _i64p, ctypes.c_int64, ctypes.c_int,
+            _u8p, _i64p, _i64p, _i64p, ctypes.c_int64,
+            _i64p, _i64p, ctypes.c_int]
+        lib.hypo_minimizer_support.argtypes = [
+            _i64p, ctypes.c_int64, ctypes.c_int,
+            _i64p, ctypes.c_int64, _i64p, _i64p,
+            _u8p, _i64p, _i64p, _i64p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, _i32p, _i32p, ctypes.c_int]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray, ctp):
+    return a.ctypes.data_as(ctp)
+
+
+def count_kmers_dense(codes: np.ndarray, k: int, table: np.ndarray,
+                      nthreads: int = 0) -> None:
+    """Accumulate canonical k-mer counts of `codes` into `table`
+    (uint32, length 4^k, modified in place)."""
+    lib = _load()
+    assert table.dtype == np.uint32 and table.flags.c_contiguous
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    lib.hypo_count_kmers_dense(_ptr(codes, _u8p), len(codes), k,
+                               _ptr(table, _u32p), nthreads)
+
+
+def _pack_alignments(alignments: List):
+    lens = np.array([len(a.codes) for a in alignments], dtype=np.int64)
+    off = np.zeros(len(alignments) + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    buf = np.empty(int(off[-1]), dtype=np.uint8)
+    for a, o0, o1 in zip(alignments, off[:-1], off[1:]):
+        buf[o0:o1] = a.codes
+    rb = np.array([a.rb for a in alignments], dtype=np.int64)
+    re = np.array([a.re for a in alignments], dtype=np.int64)
+    return buf, off, rb, re
+
+
+def skmer_support(contig, alignments: List, k: int,
+                  nthreads: int = 0) -> None:
+    """Native twin of segment.support.update_solidkmers_support."""
+    lib = _load()
+    positions = np.ascontiguousarray(contig.solid_pos, dtype=np.int64)
+    kids = np.ascontiguousarray(contig.kids, dtype=np.int64)
+    npos = len(positions)
+    cov_diff = np.zeros(npos + 1, dtype=np.int64)
+    support = np.zeros(npos, dtype=np.int64)
+    if alignments:
+        buf, off, rb, re = _pack_alignments(alignments)
+        lib.hypo_skmer_support(
+            _ptr(positions, _i64p), _ptr(kids, _i64p), npos, k,
+            _ptr(buf, _u8p), _ptr(off, _i64p), _ptr(rb, _i64p),
+            _ptr(re, _i64p), len(alignments),
+            _ptr(cov_diff, _i64p), _ptr(support, _i64p), nthreads)
+    contig.kmer_coverage += np.cumsum(cov_diff[:-1])
+    contig.kmer_support += support
+
+
+def minimizer_support(contig, alignments: List, mk: int, mw: int,
+                      nthreads: int = 0) -> None:
+    """Native twin of segment.support.update_minimisers_support."""
+    lib = _load()
+    starts = np.ascontiguousarray(contig.stage1_starts, dtype=np.int64)
+    n_mw = len(contig.minfos)
+    mw_off = np.zeros(n_mw + 1, dtype=np.int64)
+    for i, minfo in enumerate(contig.minfos):
+        mw_off[i + 1] = mw_off[i] + len(minfo.minimisers)
+    total = int(mw_off[-1])
+    m_vals = np.empty(total, dtype=np.int64)
+    m_abs = np.empty(total, dtype=np.int64)
+    cov = np.zeros(total, dtype=np.int32)
+    sup = np.zeros(total, dtype=np.int32)
+    for i, minfo in enumerate(contig.minfos):
+        o0, o1 = int(mw_off[i]), int(mw_off[i + 1])
+        m_vals[o0:o1] = minfo.minimisers
+        m_abs[o0:o1] = contig.mw_base_pos[i] + np.cumsum(minfo.rel_pos)
+    if alignments and total:
+        buf, off, rb, re = _pack_alignments(alignments)
+        lib.hypo_minimizer_support(
+            _ptr(starts, _i64p), len(starts), int(contig.is_win_even),
+            _ptr(mw_off, _i64p), n_mw, _ptr(m_vals, _i64p),
+            _ptr(m_abs, _i64p),
+            _ptr(buf, _u8p), _ptr(off, _i64p), _ptr(rb, _i64p),
+            _ptr(re, _i64p), len(alignments), mk, mw,
+            _ptr(cov, _i32p), _ptr(sup, _i32p), nthreads)
+    for i, minfo in enumerate(contig.minfos):
+        o0, o1 = int(mw_off[i]), int(mw_off[i + 1])
+        minfo.coverage += cov[o0:o1]
+        minfo.support += sup[o0:o1]

@@ -18,8 +18,12 @@ from typing import List, Optional
 import numpy as np
 
 from ..config import ARMS_SETTINGS, MINIMIZER_SETTINGS
-from ..dna import check_kmer, find_kmer
+from ..dna import kmer_to_bytes
 from ..io.bam import OP_H, OP_S, BamRecord, cigar_consumes
+
+# per-op (consumes-query | consumes-ref<<1) table, plain tuple for speed
+_CONSUMES = tuple(cigar_consumes(op) for op in range(9))
+_CONSUMES_ARR = np.array(_CONSUMES, dtype=np.int64)
 from ..segment.regions import RegionType
 
 INTERNAL, PREFIX, SUFFIX, EMPTY = range(4)
@@ -33,7 +37,7 @@ class Arm:
 
 
 class Alignment:
-    __slots__ = ("rb", "re", "qab", "qae", "codes", "cigar_ops",
+    __slots__ = ("rb", "re", "qab", "qae", "codes", "cbytes", "cigar_ops",
                  "cigar_lens", "is_valid", "arms", "qname")
 
     def __init__(self):
@@ -51,8 +55,7 @@ class Alignment:
         a.qname = rec.qname
         ops = rec.cigar_ops
         lens = rec.cigar_lens.astype(np.int64)
-        ctype = np.array([cigar_consumes(int(o)) for o in ops],
-                         dtype=np.int64)
+        ctype = _CONSUMES_ARR[ops]
         a.rb = int(rec.pos)
         a.re = a.rb + int(lens[(ctype & 2) != 0].sum())
         q_len = int(lens[(ctype & 1) != 0].sum())
@@ -79,6 +82,7 @@ class Alignment:
             a.is_valid = False  # reads containing N are dropped
             return a
         a.codes = np.ascontiguousarray(codes)
+        a.cbytes = a.codes.tobytes()
         a.qab = 0
         a.qae = qae - qab
         a.cigar_ops = ops
@@ -97,14 +101,14 @@ class Alignment:
         next_ref = int(reg_starts[cpi])
         cur_q = 0
         is_corner = False
-        ops = self.cigar_ops
-        lens = self.cigar_lens
+        ops = self.cigar_ops.tolist()
+        lens = self.cigar_lens.tolist()
         for idx in range(len(ops)):
-            op = int(ops[idx])
-            oplen = int(lens[idx])
-            if op in (OP_S, OP_H):
+            op = ops[idx]
+            oplen = lens[idx]
+            if op == OP_S or op == OP_H:
                 continue
-            ctype = cigar_consumes(op)
+            ctype = _CONSUMES[op]
             if ctype == 3:  # consumes query and reference
                 if is_corner:
                     results.append(cur_q)
@@ -204,18 +208,19 @@ class Alignment:
         valid = True
         q_beg, q_end = qb, qe
         R = RegionType
+        cb = self.cbytes
         # re-anchor on the preceding SR's last kmer
         if (wtype in (R.SWS, R.SW, R.SWM)) and armtype != SUFFIX:
             if q_beg < k:
                 valid = False
             else:
                 rank_sr = int(reg_info[windex - 1])
-                anchor = int(anchors[2 * rank_sr])  # last kmer of that SR
-                if not check_kmer(self.codes, anchor, k, q_beg - k):
+                pat = kmer_to_bytes(int(anchors[2 * rank_sr]), k)
+                if cb[q_beg - k:q_beg] != pat:
                     s0 = 0 if q_beg < 2 * k else q_beg - 2 * k
                     s1 = q_end if q_end < q_beg + k else q_beg + k
-                    hit = find_kmer(self.codes, anchor, k, s0, s1, False)
-                    if hit is not None:
+                    hit = cb.rfind(pat, s0, s1)
+                    if hit >= 0:
                         q_beg = hit + k
                     else:
                         valid = False
@@ -225,12 +230,12 @@ class Alignment:
                 valid = False
             else:
                 rank_sr = int(reg_info[windex + 1])
-                anchor = int(anchors[2 * rank_sr - 1])
-                if not check_kmer(self.codes, anchor, k, q_end):
+                pat = kmer_to_bytes(int(anchors[2 * rank_sr - 1]), k)
+                if cb[q_end:q_end + k] != pat:
                     s0 = q_beg if q_end < q_beg + k else q_end - k
                     s1 = min(self.qae, q_end + 2 * k)
-                    hit = find_kmer(self.codes, anchor, k, s0, s1, True)
-                    if hit is not None:
+                    hit = cb.find(pat, s0, s1)
+                    if hit >= 0:
                         q_end = hit
                     else:
                         valid = False
@@ -239,12 +244,12 @@ class Alignment:
             if q_beg < mk:
                 valid = False
             else:
-                anchor = int(reg_info[windex - 1])
-                if not check_kmer(self.codes, anchor, mk, q_beg - mk):
+                pat = kmer_to_bytes(int(reg_info[windex - 1]), mk)
+                if cb[q_beg - mk:q_beg] != pat:
                     s0 = 0 if q_beg < 3 * mk else q_beg - 3 * mk
                     s1 = q_end if q_end < q_beg + 2 * mk else q_beg + 2 * mk
-                    hit = find_kmer(self.codes, anchor, mk, s0, s1, False)
-                    if hit is not None:
+                    hit = cb.rfind(pat, s0, s1)
+                    if hit >= 0:
                         q_beg = hit + mk
                     else:
                         valid = False
@@ -253,12 +258,12 @@ class Alignment:
             if q_end + mk > self.qae:
                 valid = False
             else:
-                anchor = int(reg_info[windex + 1])
-                if not check_kmer(self.codes, anchor, mk, q_end):
+                pat = kmer_to_bytes(int(reg_info[windex + 1]), mk)
+                if cb[q_end:q_end + mk] != pat:
                     s0 = q_beg if q_end < q_beg + 2 * mk else q_end - 2 * mk
                     s1 = min(self.qae, q_end + 3 * mk)
-                    hit = find_kmer(self.codes, anchor, mk, s0, s1, True)
-                    if hit is not None:
+                    hit = cb.find(pat, s0, s1)
+                    if hit >= 0:
                         q_end = hit
                     else:
                         valid = False

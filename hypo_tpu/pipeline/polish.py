@@ -157,9 +157,17 @@ class Polisher:
         mon.stop(f"[hypo_tpu] Loaded {num_alns} short alignments "
                  f"({num_invalid} invalid). ")
 
+        from ..native import host_api
+        native_host = host_api.available()
+
         mon.start()
         for cid in range(lo, hi):
-            update_solidkmers_support(self.contigs[cid], store[cid], f.k)
+            if native_host:
+                host_api.skmer_support(self.contigs[cid], store[cid], f.k,
+                                       f.threads)
+            else:
+                update_solidkmers_support(self.contigs[cid], store[cid],
+                                          f.k)
         mon.stop("[hypo_tpu] Solid kmer support. ")
 
         mon.start()
@@ -172,7 +180,12 @@ class Polisher:
 
         mon.start()
         for cid in range(lo, hi):
-            update_minimisers_support(self.contigs[cid], store[cid])
+            if native_host:
+                from ..config import MINIMIZER_SETTINGS as MS
+                host_api.minimizer_support(self.contigs[cid], store[cid],
+                                           MS.k, MS.w, f.threads)
+            else:
+                update_minimisers_support(self.contigs[cid], store[cid])
         mon.stop("[hypo_tpu] Minimizer support. ")
 
         mon.start()
