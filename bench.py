@@ -46,14 +46,18 @@ def main() -> None:
     compile_s = time.time() - t0
     print(f"[bench] compile: {compile_s:.1f}s", file=sys.stderr)
 
-    # warm + measure
+    # warm + measure: the tunneled chip is shared, so take the best of
+    # several short trials to reject contention noise
     run().block_until_ready()
-    reps = 10
-    t0 = time.time()
-    for _ in range(reps):
-        mr = run()
-    mr.block_until_ready()
-    dt = time.time() - t0
+    reps, trials = 5, 6
+    best_dt = float("inf")
+    for _ in range(trials):
+        t0 = time.time()
+        for _ in range(reps):
+            mr = run()
+        mr.block_until_ready()
+        best_dt = min(best_dt, time.time() - t0)
+    dt = best_dt
     aligns_per_sec = B * reps / dt
     cells_per_sec = aligns_per_sec * N * L
     windows_per_sec = aligns_per_sec / ARMS_PER_WINDOW
