@@ -237,7 +237,7 @@ def _read_sam(path: str):
 def _bgzf_block(payload: bytes) -> bytes:
     co = zlib.compressobj(6, zlib.DEFLATED, -15)
     comp = co.compress(payload) + co.flush()
-    bsize = len(comp) + 25 + 1  # header(18) + crc(4) + isize(4) - 1
+    bsize = len(comp) + 25  # total block (hdr 18 + crc 4 + isize 4) - 1
     hdr = struct.pack("<BBBBIBBHBBHH", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF, 6,
                       ord("B"), ord("C"), 2, bsize)
     return hdr + comp + struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF,

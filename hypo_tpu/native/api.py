@@ -23,7 +23,7 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fopenmp",
            "-march=native", _SRC, "-o", _LIB + ".tmp"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
@@ -75,11 +75,20 @@ def _load():
             i32p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_char_p, ctypes.c_int]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        ci = ctypes.c_int
+        lib.hypo_window_consensus_batch.argtypes = [
+            ctypes.c_char_p, i64p, ctypes.c_char_p, i64p, i32p, i32p,
+            i64p, i32p, i32p, i32p, ctypes.c_int64,
+            ci, ci, ci, ci, ci, ci, ci,
+            ctypes.c_char_p, i64p, i64p, i64p, ci]
         _lib = lib
         return _lib
 
 
 def available() -> bool:
+    if os.environ.get("HYPO_TPU_NO_NATIVE"):
+        return False
     return _load() is not None
 
 
@@ -203,3 +212,72 @@ def native_window_consensus(wtype: int, draft_codes: np.ndarray,
     if ln < 0:
         return None
     return buf.raw[:ln].decode("latin1")
+
+
+def native_window_consensus_batch(jobs, sr_scores, lr_scores,
+                                  fix_modes: bool = False,
+                                  nthreads: int = 0):
+    """Batched window consensus, OpenMP over windows.
+
+    jobs: list of (wtype, draft_bytes, [(arm_bytes, kind)], num_internal,
+    num_empty).  Returns list of consensus strings (None per overflow).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    nw = len(jobs)
+    d_off = np.zeros(nw + 1, dtype=np.int64)
+    win_arm_off = np.zeros(nw + 1, dtype=np.int64)
+    for i, (wt, draft, arms, ni, ne) in enumerate(jobs):
+        d_off[i + 1] = d_off[i] + len(draft)
+        win_arm_off[i + 1] = win_arm_off[i] + len(arms)
+    n_arms = int(win_arm_off[-1])
+    arm_lens = np.zeros(max(n_arms, 1), dtype=np.int32)
+    arm_kinds = np.zeros(max(n_arms, 1), dtype=np.int32)
+    a_off = np.zeros(n_arms + 1, dtype=np.int64)
+    drafts = bytearray()
+    armbuf = bytearray()
+    wtypes = np.zeros(nw, dtype=np.int32)
+    num_internal = np.zeros(nw, dtype=np.int32)
+    num_empty = np.zeros(nw, dtype=np.int32)
+    out_off = np.zeros(nw, dtype=np.int64)
+    out_cap = np.zeros(nw, dtype=np.int64)
+    ai = 0
+    total_out = 0
+    for i, (wt, draft, arms, ni, ne) in enumerate(jobs):
+        drafts += draft
+        wtypes[i] = wt
+        num_internal[i] = ni
+        num_empty[i] = ne
+        tot_arm = 0
+        for ab, kind in arms:
+            armbuf += ab
+            arm_lens[ai] = len(ab)
+            arm_kinds[ai] = kind
+            a_off[ai + 1] = a_off[ai] + len(ab)
+            tot_arm += len(ab)
+            ai += 1
+        out_off[i] = total_out
+        out_cap[i] = 2 * (len(draft) + tot_arm) + 64
+        total_out += int(out_cap[i])
+    out = ctypes.create_string_buffer(max(total_out, 1))
+    out_len = np.zeros(nw, dtype=np.int64)
+    i64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    ms, ns, gs = sr_scores
+    ml, nl, gl = lr_scores
+    lib.hypo_window_consensus_batch(
+        bytes(drafts), i64(d_off), bytes(armbuf), i64(a_off),
+        _i32(arm_lens), _i32(arm_kinds), i64(win_arm_off),
+        _i32(wtypes), _i32(num_internal), _i32(num_empty), nw,
+        ms, ns, gs, ml, nl, gl, 1 if fix_modes else 0,
+        out, i64(out_off), i64(out_cap), i64(out_len), nthreads)
+    res = []
+    raw = out.raw
+    for i in range(nw):
+        ln = int(out_len[i])
+        if ln < 0:
+            res.append(None)
+        else:
+            o = int(out_off[i])
+            res.append(raw[o:o + ln].decode("latin1"))
+    return res

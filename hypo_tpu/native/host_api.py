@@ -68,6 +68,8 @@ def _load():
 
 
 def available() -> bool:
+    if os.environ.get("HYPO_TPU_NO_NATIVE"):
+        return False
     return _load() is not None
 
 
@@ -149,3 +151,94 @@ def minimizer_support(contig, alignments: List, mk: int, mw: int,
         o0, o1 = int(mw_off[i]), int(mw_off[i + 1])
         minfo.coverage += cov[o0:o1]
         minfo.support += sup[o0:o1]
+
+
+def _register_arms(lib):
+    if getattr(lib, "_arms_registered", False):
+        return
+    _u8pp = ctypes.POINTER(ctypes.c_uint8)
+    lib.hypo_find_arms.restype = ctypes.c_void_p
+    lib.hypo_find_arms.argtypes = [
+        _i64p, _u8pp, _i64p, _i64p, _i64p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        _u8pp, _i64p, _u32p, _i64p, _i64p, _i64p,
+        ctypes.c_int64, ctypes.c_int]
+    lib.hypo_arms_count.restype = ctypes.c_int64
+    lib.hypo_arms_count.argtypes = [ctypes.c_void_p]
+    for name, restype in [("hypo_arms_aln", _i64p),
+                          ("hypo_arms_windex", _i64p),
+                          ("hypo_arms_qb", _i64p),
+                          ("hypo_arms_qe", _i64p),
+                          ("hypo_arms_type", _u8pp)]:
+        fn = getattr(lib, name)
+        fn.restype = restype
+        fn.argtypes = [ctypes.c_void_p]
+    lib.hypo_arms_free.argtypes = [ctypes.c_void_p]
+    lib._arms_registered = True
+
+
+def _pack_cigars(alignments: List):
+    parts = []
+    for a in alignments:
+        raw = getattr(a, "cig_raw", None)
+        if raw is None:
+            raw = ((a.cigar_lens.astype(np.uint32) << 4)
+                   | a.cigar_ops.astype(np.uint32))
+        parts.append(raw)
+    lens = np.array([len(p) for p in parts], dtype=np.int64)
+    off = np.zeros(len(parts) + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    buf = (np.concatenate(parts).astype(np.uint32, copy=False)
+           if parts else np.zeros(0, dtype=np.uint32))
+    return np.ascontiguousarray(buf), off
+
+
+def find_arms(contig, alignments: List, k: int, mk: int, is_long: bool,
+              short_arm_coef: int, nthreads: int = 0):
+    """Native twin of Alignment.find_short_arms / find_long_arms over
+    all alignments of one contig.  Returns (aln_idx, windex, qb, qe,
+    armtype) int arrays in (alignment, emission) order."""
+    lib = _load()
+    _register_arms(lib)
+    if is_long:
+        starts = np.ascontiguousarray(contig.pseudo_starts,
+                                      dtype=np.int64)
+        rtype = np.ascontiguousarray(
+            np.array(contig.pseudo_types, dtype=np.uint8))
+        true_id = np.ascontiguousarray(
+            np.array(contig.true_reg_id, dtype=np.int64))
+        rinfo = np.zeros(len(starts) + 1, dtype=np.int64)
+        anchors = np.zeros(2, dtype=np.int64)
+    else:
+        starts = np.ascontiguousarray(contig.reg_starts, dtype=np.int64)
+        rtype = np.ascontiguousarray(
+            np.array(contig.reg_type, dtype=np.uint8))
+        rinfo = np.zeros(len(starts) + 1, dtype=np.int64)
+        ri = np.asarray(contig.reg_info, dtype=np.int64)
+        rinfo[:len(ri)] = ri
+        anchors = np.ascontiguousarray(contig.anchor_kmers,
+                                       dtype=np.int64)
+        if len(anchors) == 0:
+            anchors = np.zeros(2, dtype=np.int64)
+        true_id = np.zeros(len(starts), dtype=np.int64)
+    buf, off, rb, re = _pack_alignments(alignments)
+    cig, cig_off = _pack_cigars(alignments)
+    h = lib.hypo_find_arms(
+        _ptr(starts, _i64p), _ptr(rtype, _u8p), _ptr(rinfo, _i64p),
+        _ptr(anchors, _i64p), _ptr(true_id, _i64p), len(starts),
+        k, mk, short_arm_coef, 1 if is_long else 0,
+        _ptr(buf, _u8p), _ptr(off, _i64p), _ptr(cig, _u32p),
+        _ptr(cig_off, _i64p), _ptr(rb, _i64p), _ptr(re, _i64p),
+        len(alignments), nthreads)
+    n = int(lib.hypo_arms_count(h))
+    if n == 0:
+        lib.hypo_arms_free(h)
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, z, np.zeros(0, dtype=np.uint8)
+    aln = np.ctypeslib.as_array(lib.hypo_arms_aln(h), (n,)).copy()
+    windex = np.ctypeslib.as_array(lib.hypo_arms_windex(h), (n,)).copy()
+    qb = np.ctypeslib.as_array(lib.hypo_arms_qb(h), (n,)).copy()
+    qe = np.ctypeslib.as_array(lib.hypo_arms_qe(h), (n,)).copy()
+    at = np.ctypeslib.as_array(lib.hypo_arms_type(h), (n,)).copy()
+    lib.hypo_arms_free(h)
+    return aln, windex, qb, qe, at

@@ -288,3 +288,336 @@ void hypo_minimizer_support(const int64_t* starts, int64_t nstarts,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Arm extraction (reference Alignment::find_short_arms /
+// find_long_arms / find_bp / prepare_short_arm,
+// src/Alignment.cpp:222-511), OpenMP over alignments.
+//
+// Mirrors hypo_tpu/pipeline/alignment.py exactly: the CIGAR break-point
+// walk against region boundaries, then per-window anchor re-search on
+// flanking SR k-mers / minimizers via byte-pattern matching.  Results
+// are stored in a handle and read back via flat-array getters, in
+// (alignment, emission) order so downstream window fill order — and
+// therefore POA tie-breaking — is identical to the Python path.
+
+namespace {
+
+constexpr int OP_S = 4, OP_H = 5;
+constexpr int kConsumes[9] = {3, 1, 2, 2, 1, 0, 0, 3, 3};
+constexpr int R_SWS = 0, R_SW = 1, R_WS = 2, R_MWM = 3, R_MW = 4,
+              R_WM = 5, R_SWM = 6, R_MWS = 7, R_SR = 10, R_MSR = 11;
+constexpr int ARM_INTERNAL = 0, ARM_PREFIX = 1, ARM_SUFFIX = 2,
+              ARM_EMPTY = 3;
+
+struct ArmOut {
+    int64_t aln;
+    int64_t windex;
+    int64_t qb, qe;
+    uint8_t armtype;
+};
+
+struct ArmsResult {
+    std::vector<int64_t> aln, windex, qb, qe;
+    std::vector<uint8_t> armtype;
+};
+
+void decode_kmer(int64_t val, int k, uint8_t* out) {
+    for (int i = k - 1; i >= 0; --i) {
+        out[i] = (uint8_t)(val & 3);
+        val >>= 2;
+    }
+}
+
+// bytes.rfind/find of a k-byte pattern fully inside [s0, s1)
+int64_t find_pat(const uint8_t* hay, int64_t s0, int64_t s1,
+                 const uint8_t* pat, int k, bool first) {
+    if (s1 - s0 < k) return -1;
+    if (first) {
+        for (int64_t i = s0; i <= s1 - k; ++i)
+            if (!memcmp(hay + i, pat, k)) return i;
+    } else {
+        for (int64_t i = s1 - k; i >= s0; --i)
+            if (!memcmp(hay + i, pat, k)) return i;
+    }
+    return -1;
+}
+
+// CIGAR break-point walk (reference find_bp, Alignment.cpp:321-406)
+void find_bp(const uint32_t* cig, int64_t ncig, int64_t rb,
+             const int64_t* starts, const uint8_t* rtype,
+             int64_t beg_ind, int64_t end_ind,
+             std::vector<int64_t>& results) {
+    results.clear();
+    int64_t cur_ref = rb;
+    int64_t cpi = beg_ind + 1;
+    int64_t next_ref = starts[cpi];
+    int64_t cur_q = 0;
+    bool is_corner = false;
+    for (int64_t idx = 0; idx < ncig; ++idx) {
+        const int op = cig[idx] & 0xF;
+        int64_t oplen = cig[idx] >> 4;
+        if (op == OP_S || op == OP_H) continue;
+        const int ctype = kConsumes[op];
+        if (ctype == 3) {
+            if (is_corner) {
+                results.push_back(cur_q);
+                is_corner = false;
+                ++cpi;
+                next_ref = starts[cpi];
+            }
+            while (cur_ref + oplen >= next_ref && !is_corner) {
+                const int64_t diff = next_ref - cur_ref;
+                cur_ref = next_ref;
+                cur_q += diff;
+                oplen -= diff;
+                if (oplen > 0) {
+                    results.push_back(cur_q);
+                    ++cpi;
+                    next_ref = starts[cpi];
+                } else {
+                    is_corner = true;
+                }
+            }
+            if (oplen > 0) { cur_ref += oplen; cur_q += oplen; }
+        } else if (ctype & 2) {
+            if (is_corner) {
+                results.push_back(cur_q);
+                is_corner = false;
+                ++cpi;
+                next_ref = starts[cpi];
+            }
+            while (cur_ref + oplen >= next_ref && !is_corner) {
+                const int64_t diff = next_ref - cur_ref;
+                cur_ref = next_ref;
+                oplen -= diff;
+                if (oplen > 0) {
+                    results.push_back(cur_q);
+                    ++cpi;
+                    next_ref = starts[cpi];
+                } else {
+                    is_corner = true;
+                }
+            }
+            if (oplen > 0) cur_ref += oplen;
+        } else if (ctype & 1) {
+            if (is_corner) {
+                if (rtype[cpi - 1] == R_SR || rtype[cpi - 1] == R_MSR)
+                    results.push_back(cur_q);
+                else
+                    results.push_back(cur_q + oplen);
+                ++cpi;
+                next_ref = starts[cpi];
+                is_corner = false;
+            }
+            cur_q += oplen;
+        }
+        if (cpi == end_ind) break;
+    }
+}
+
+// prepare_short_arm (reference Alignment.cpp:408-511)
+void prepare_short_arm(const uint8_t* q, int64_t qae, int k, int mk,
+                       int64_t windex, int64_t qb0, int64_t qe0,
+                       int armtype, const int64_t* starts,
+                       const uint8_t* rtype, const int64_t* rinfo,
+                       const int64_t* anchors, int64_t aln_idx,
+                       int short_arm_coef, std::vector<ArmOut>& out) {
+    const int64_t cur_pos = starts[windex];
+    const int64_t next_pos = starts[windex + 1];
+    if (next_pos - cur_pos > (int64_t)short_arm_coef * (qe0 - qb0))
+        return;
+    const int wtype = rtype[windex];
+    bool valid = true;
+    int64_t q_beg = qb0, q_end = qe0;
+    uint8_t pat[64];
+    // preceding SR's last kmer
+    if ((wtype == R_SWS || wtype == R_SW || wtype == R_SWM) &&
+        armtype != ARM_SUFFIX) {
+        if (q_beg < k) {
+            valid = false;
+        } else {
+            const int64_t rank_sr = rinfo[windex - 1];
+            decode_kmer(anchors[2 * rank_sr], k, pat);
+            if (memcmp(q + q_beg - k, pat, k) != 0) {
+                const int64_t s0 = q_beg < 2 * k ? 0 : q_beg - 2 * k;
+                const int64_t s1 =
+                    q_end < q_beg + k ? q_end : q_beg + k;
+                const int64_t hit = find_pat(q, s0, s1, pat, k, false);
+                if (hit >= 0) q_beg = hit + k; else valid = false;
+            }
+        }
+    }
+    // succeeding SR's first kmer
+    if (valid && (wtype == R_SWS || wtype == R_WS || wtype == R_MWS) &&
+        armtype != ARM_PREFIX) {
+        if (q_end + k > qae) {
+            valid = false;
+        } else {
+            const int64_t rank_sr = rinfo[windex + 1];
+            decode_kmer(anchors[2 * rank_sr - 1], k, pat);
+            if (memcmp(q + q_end, pat, k) != 0) {
+                const int64_t s0 =
+                    q_end < q_beg + k ? q_beg : q_end - k;
+                const int64_t s1 =
+                    qae < q_end + 2 * k ? qae : q_end + 2 * k;
+                const int64_t hit = find_pat(q, s0, s1, pat, k, true);
+                if (hit >= 0) q_end = hit; else valid = false;
+            }
+        }
+    }
+    // preceding minimizer
+    if (valid && (wtype == R_MWM || wtype == R_MW || wtype == R_MWS) &&
+        armtype != ARM_SUFFIX) {
+        if (q_beg < mk) {
+            valid = false;
+        } else {
+            decode_kmer(rinfo[windex - 1], mk, pat);
+            if (memcmp(q + q_beg - mk, pat, mk) != 0) {
+                const int64_t s0 = q_beg < 3 * mk ? 0 : q_beg - 3 * mk;
+                const int64_t s1 =
+                    q_end < q_beg + 2 * mk ? q_end : q_beg + 2 * mk;
+                const int64_t hit = find_pat(q, s0, s1, pat, mk, false);
+                if (hit >= 0) q_beg = hit + mk; else valid = false;
+            }
+        }
+    }
+    // succeeding minimizer
+    if (valid && (wtype == R_MWM || wtype == R_WM || wtype == R_SWM) &&
+        armtype != ARM_PREFIX) {
+        if (q_end + mk > qae) {
+            valid = false;
+        } else {
+            decode_kmer(rinfo[windex + 1], mk, pat);
+            if (memcmp(q + q_end, pat, mk) != 0) {
+                const int64_t s0 =
+                    q_end < q_beg + 2 * mk ? q_beg : q_end - 2 * mk;
+                const int64_t s1 =
+                    qae < q_end + 3 * mk ? qae : q_end + 3 * mk;
+                const int64_t hit = find_pat(q, s0, s1, pat, mk, true);
+                if (hit >= 0) q_end = hit; else valid = false;
+            }
+        }
+    }
+    if (valid && q_beg < q_end)
+        out.push_back({aln_idx, windex, q_beg, q_end,
+                       (uint8_t)armtype});
+}
+
+}  // namespace
+
+extern "C" {
+
+// is_long = 0: short arms with anchoring; windex is the region index.
+// is_long = 1: long arms (no anchoring, no short_arm_coef gate);
+// windex is mapped through true_id.
+void* hypo_find_arms(
+    const int64_t* starts, const uint8_t* rtype, const int64_t* rinfo,
+    const int64_t* anchors, const int64_t* true_id, int64_t nstarts,
+    int k, int mk, int short_arm_coef, int is_long,
+    const uint8_t* codes, const int64_t* code_off, const uint32_t* cig,
+    const int64_t* cig_off, const int64_t* rb, const int64_t* re,
+    int64_t n_aln, int nthreads) {
+#ifdef _OPENMP
+    if (nthreads > 0) omp_set_num_threads(nthreads);
+#endif
+    auto* res = new ArmsResult();
+    std::vector<std::vector<ArmOut>> per_aln(n_aln);
+#pragma omp parallel
+    {
+        std::vector<int64_t> bp;
+#pragma omp for schedule(dynamic, 64)
+        for (int64_t a = 0; a < n_aln; ++a) {
+            auto& out = per_aln[a];
+            const int64_t arb = rb[a], are = re[a];
+            int64_t b_ind =
+                std::lower_bound(starts, starts + nstarts, arb) - starts;
+            if (b_ind >= nstarts || starts[b_ind] != arb) --b_ind;
+            const int64_t e_ind =
+                std::lower_bound(starts, starts + nstarts, are) - starts;
+            if (e_ind - b_ind <= 1) continue;
+            const uint8_t* q = codes + code_off[a];
+            const int64_t qae = code_off[a + 1] - code_off[a];
+            find_bp(cig + cig_off[a], cig_off[a + 1] - cig_off[a], arb,
+                    starts, rtype, b_ind, e_ind, bp);
+            const bool sr_like0 =
+                rtype[b_ind] == R_SR || rtype[b_ind] == R_MSR;
+            int armtype =
+                starts[b_ind] != arb ? ARM_SUFFIX : ARM_INTERNAL;
+            if (is_long) {
+                // appended even when zero-length (python parity: the
+                // first/last long arms are never EMPTY-classified)
+                if (rtype[b_ind] != R_SR)
+                    out.push_back({a, true_id[b_ind], 0, bp[0],
+                                   (uint8_t)armtype});
+            } else if (!sr_like0) {
+                prepare_short_arm(q, qae, k, mk, b_ind, 0, bp[0],
+                                  armtype, starts, rtype, rinfo, anchors,
+                                  a, short_arm_coef, out);
+            }
+            int64_t bp_ind = 0;
+            for (int64_t ind = b_ind + 1; ind < e_ind - 1; ++ind) {
+                const bool sr_like =
+                    is_long ? (rtype[ind] == R_SR)
+                            : (rtype[ind] == R_SR ||
+                               rtype[ind] == R_MSR);
+                if (!sr_like) {
+                    const int64_t wx = is_long ? true_id[ind] : ind;
+                    if (bp[bp_ind + 1] == bp[bp_ind]) {
+                        out.push_back({a, wx, 0, 0, ARM_EMPTY});
+                    } else if (is_long) {
+                        out.push_back({a, wx, bp[bp_ind], bp[bp_ind + 1],
+                                       ARM_INTERNAL});
+                    } else {
+                        prepare_short_arm(q, qae, k, mk, ind, bp[bp_ind],
+                                          bp[bp_ind + 1], ARM_INTERNAL,
+                                          starts, rtype, rinfo, anchors,
+                                          a, short_arm_coef, out);
+                    }
+                }
+                ++bp_ind;
+            }
+            // _pos_marked(starts, re)
+            const int64_t mi =
+                std::lower_bound(starts, starts + nstarts, are) - starts;
+            const bool marked = mi < nstarts && starts[mi] == are;
+            armtype = marked ? ARM_INTERNAL : ARM_PREFIX;
+            const bool sr_likeE =
+                is_long ? (rtype[e_ind - 1] == R_SR)
+                        : (rtype[e_ind - 1] == R_SR ||
+                           rtype[e_ind - 1] == R_MSR);
+            if (!sr_likeE) {
+                if (is_long) {
+                    out.push_back({a, true_id[e_ind - 1], bp[bp_ind],
+                                   qae, (uint8_t)armtype});
+                } else {
+                    prepare_short_arm(q, qae, k, mk, e_ind - 1,
+                                      bp[bp_ind], qae, armtype, starts,
+                                      rtype, rinfo, anchors, a,
+                                      short_arm_coef, out);
+                }
+            }
+        }
+    }
+    for (auto& v : per_aln)
+        for (const auto& o : v) {
+            res->aln.push_back(o.aln);
+            res->windex.push_back(o.windex);
+            res->qb.push_back(o.qb);
+            res->qe.push_back(o.qe);
+            res->armtype.push_back(o.armtype);
+        }
+    return res;
+}
+
+int64_t hypo_arms_count(void* h) {
+    return (int64_t)((ArmsResult*)h)->aln.size();
+}
+const int64_t* hypo_arms_aln(void* h) { return ((ArmsResult*)h)->aln.data(); }
+const int64_t* hypo_arms_windex(void* h) { return ((ArmsResult*)h)->windex.data(); }
+const int64_t* hypo_arms_qb(void* h) { return ((ArmsResult*)h)->qb.data(); }
+const int64_t* hypo_arms_qe(void* h) { return ((ArmsResult*)h)->qe.data(); }
+const uint8_t* hypo_arms_type(void* h) { return ((ArmsResult*)h)->armtype.data(); }
+void hypo_arms_free(void* h) { delete (ArmsResult*)h; }
+
+}  // extern "C"

@@ -16,6 +16,10 @@
 #include <string>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace {
 
 constexpr int32_t NEG = -(1 << 30);
@@ -667,6 +671,46 @@ int hypo_window_consensus(int wtype, const char* draft, int draft_len,
     if ((int)c.size() > cap) return -1;
     std::memcpy(out, c.data(), c.size());
     return (int)c.size();
+}
+
+// Batched window consensus, OpenMP over windows (the reference's
+// per-window OMP POA loop, src/Hypo.cpp:237-247).  Flattened layout:
+//   drafts buf + d_off[nw+1]; arms buf with per-arm arm_lens/arm_kinds
+//   (concatenated per window) and per-window arm index range
+//   win_arm_off[nw+1]; wtypes / num_internal / num_empty per window.
+// Scores: (ms,ns,gs) for SHORT windows, (ml,nl,gl) for LONG windows.
+// Output: each window w may write up to out_cap[w] bytes at out_off[w];
+// out_len[w] receives the actual length (-1 = overflow).
+void hypo_window_consensus_batch(
+    const char* drafts, const int64_t* d_off,
+    const char* arms, const int64_t* a_off,
+    const int32_t* arm_lens, const int32_t* arm_kinds,
+    const int64_t* win_arm_off,
+    const int32_t* wtypes, const int32_t* num_internal,
+    const int32_t* num_empty, int64_t nw,
+    int ms, int ns, int gs, int ml, int nl, int gl, int fix_modes,
+    char* out, const int64_t* out_off, const int64_t* out_cap,
+    int64_t* out_len, int nthreads) {
+#ifdef _OPENMP
+    if (nthreads > 0) omp_set_num_threads(nthreads);
+#endif
+#pragma omp parallel for schedule(dynamic, 8)
+    for (int64_t w = 0; w < nw; ++w) {
+        const int64_t af = win_arm_off[w], al = win_arm_off[w + 1];
+        const int wt = wtypes[w];
+        std::string c = window_consensus_impl(
+            wt, drafts + d_off[w], (int)(d_off[w + 1] - d_off[w]),
+            arms + a_off[af], arm_lens + af, arm_kinds + af,
+            (int)(al - af), num_internal[w], num_empty[w],
+            wt == 0 ? ms : ml, wt == 0 ? ns : nl, wt == 0 ? gs : gl,
+            fix_modes);
+        if ((int64_t)c.size() > out_cap[w]) {
+            out_len[w] = -1;
+        } else {
+            std::memcpy(out + out_off[w], c.data(), c.size());
+            out_len[w] = (int64_t)c.size();
+        }
+    }
 }
 
 }  // extern "C"

@@ -38,11 +38,12 @@ class Arm:
 
 class Alignment:
     __slots__ = ("rb", "re", "qab", "qae", "codes", "cbytes", "cigar_ops",
-                 "cigar_lens", "is_valid", "arms", "qname")
+                 "cigar_lens", "cig_raw", "is_valid", "arms", "qname")
 
     def __init__(self):
         self.arms: List[Arm] = []
         self.is_valid = True
+        self.cig_raw = None  # BAM-encoded u32 CIGAR (native loader)
 
     # -- construction -----------------------------------------------------
     @classmethod
@@ -87,6 +88,25 @@ class Alignment:
         a.qae = qae - qab
         a.cigar_ops = ops
         a.cigar_lens = rec.cigar_lens
+        return a
+
+    @classmethod
+    def from_parsed(cls, rb: int, re: int, codes: np.ndarray,
+                    ops: np.ndarray, lens: np.ndarray,
+                    cig_raw: Optional[np.ndarray] = None) -> "Alignment":
+        """Construct from the native BAM reader's pre-computed fields
+        (flag/mapq/NM/N filtering and clip trimming already applied)."""
+        a = cls()
+        a.qname = None
+        a.rb = rb
+        a.re = re
+        a.codes = codes
+        a.cbytes = codes.tobytes()
+        a.qab = 0
+        a.qae = len(codes)
+        a.cigar_ops = ops
+        a.cigar_lens = lens
+        a.cig_raw = cig_raw
         return a
 
     # -- break-point walk -------------------------------------------------

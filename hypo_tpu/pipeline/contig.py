@@ -135,6 +135,29 @@ class Contig:
         return len(self.reg_type) - 1
 
     # -- stage: short-arm fill + pruning (Contig.cpp:249-289) -------------
+    def add_arm_table(self, alignments, table) -> None:
+        """Feed windows from a native arm table (aln_idx, windex, qb,
+        qe, armtype arrays in (alignment, emission) order) — exactly the
+        order the per-alignment add_arms drain produces, so POA
+        tie-breaking is unchanged."""
+        aln_idx, windex, qb, qe, armtype = table
+        windows = self.windows
+        for i in range(len(aln_idx)):
+            w = windows[windex[i]]
+            if w is None:
+                continue
+            t = armtype[i]
+            if t == 3:  # EMPTY
+                w.add_empty()
+                continue
+            codes = alignments[aln_idx[i]].codes[qb[i]:qe[i]]
+            if t == 1:  # PREFIX
+                w.add_prefix(codes)
+            elif t == 2:  # SUFFIX
+                w.add_suffix(codes)
+            else:
+                w.add_internal(codes)
+
     def fill_short_windows(self, alignments) -> None:
         for aln in alignments:
             aln.add_arms(self)

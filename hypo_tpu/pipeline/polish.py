@@ -33,6 +33,36 @@ from .alignment import Alignment
 from .contig import Contig
 
 
+def open_stream(path: str, cname_to_id: Dict[str, int]):
+    """Prefer the native (C++) streaming BAM loader; fall back to the
+    pure-Python reader (also handles SAM and non-draft-ordered BAMs)."""
+    if path.endswith(".bam"):
+        from ..native import bam_api
+        if bam_api.available():
+            try:
+                return _NativeStream(path, cname_to_id)
+            except (ValueError, IOError):
+                pass  # e.g. refs not in draft order -> python path
+    return _BamStream(path, cname_to_id)
+
+
+class _NativeStream:
+    def __init__(self, path: str, cname_to_id: Dict[str, int]):
+        from ..native import bam_api
+        self.inner = bam_api.NativeBamStream(path, cname_to_id)
+
+    def load_until(self, final_cid: int, min_mapq: int,
+                   norm_edit_th=None, contig_lens=None):
+        """Returns (store: cid -> [Alignment], n_valid, n_invalid)."""
+        recs, n, n_invalid = self.inner.load_until(final_cid, min_mapq,
+                                                   norm_edit_th)
+        store: Dict[int, List[Alignment]] = {}
+        for cid, rb, re, codes, ops, lens, raw in recs:
+            store.setdefault(cid, []).append(
+                Alignment.from_parsed(rb, re, codes, ops, lens, raw))
+        return store, n, n_invalid
+
+
 class _BamStream:
     """One-pass BAM reader with a single-record lookahead so batch
     boundaries can be detected (reference Hypo.cpp:320-322 relies on the
@@ -69,6 +99,23 @@ class _BamStream:
                 self.pending = (cid, rec)
                 return
             yield cid, rec
+
+    def load_until(self, final_cid: int, min_mapq: int,
+                   norm_edit_th=None, contig_lens=None):
+        """Same contract as _NativeStream.load_until."""
+        store: Dict[int, List[Alignment]] = {}
+        n = n_invalid = 0
+        for cid, rec in self.records_until(final_cid):
+            if rec.mapq < min_mapq:
+                continue
+            aln = Alignment.from_record(rec, contig_lens[cid],
+                                        norm_edit_th=norm_edit_th)
+            if aln.is_valid:
+                store.setdefault(cid, []).append(aln)
+                n += 1
+            else:
+                n_invalid += 1
+        return store, n, n_invalid
 
 
 class Polisher:
@@ -120,9 +167,9 @@ class Polisher:
         n_contigs = len(self.contigs)
         batch = f.processing_batch_size or n_contigs
         num_batches = (n_contigs + batch - 1) // batch
-        sr_stream = _BamStream(f.sr_bam_filename, cname_to_id)
+        sr_stream = open_stream(f.sr_bam_filename, cname_to_id)
         lr_stream = (None if self.no_long_reads
-                     else _BamStream(f.lr_bam_filename, cname_to_id))
+                     else open_stream(f.lr_bam_filename, cname_to_id))
         engine = ConsensusEngine(f.score_params)
 
         for b in range(num_batches):
@@ -143,17 +190,11 @@ class Polisher:
         mon = self.monitor
         ws = f.window_settings
         mon.start()
+        clens = [c.length for c in self.contigs]
+        loaded, num_alns, num_invalid = sr_stream.load_until(
+            hi, f.map_qual_th, contig_lens=clens)
         store: Dict[int, List[Alignment]] = {c: [] for c in range(lo, hi)}
-        num_alns = num_invalid = 0
-        for cid, rec in sr_stream.records_until(hi):
-            if rec.mapq < f.map_qual_th:
-                continue
-            aln = Alignment.from_record(rec, self.contigs[cid].length)
-            if aln.is_valid:
-                store[cid].append(aln)
-                num_alns += 1
-            else:
-                num_invalid += 1
+        store.update(loaded)
         mon.stop(f"[hypo_tpu] Loaded {num_alns} short alignments "
                  f"({num_invalid} invalid). ")
 
@@ -193,38 +234,53 @@ class Polisher:
             self.contigs[cid].divide_into_regions(ws)
         mon.stop("[hypo_tpu] Window division. ")
 
+        from ..config import ARMS_SETTINGS, MINIMIZER_SETTINGS as MS2
         mon.start()
+        arm_tables: Dict[int, tuple] = {}
         for cid in range(lo, hi):
             ctg = self.contigs[cid]
-            for aln in store[cid]:
-                aln.find_short_arms(f.k, ctg)
+            if native_host:
+                arm_tables[cid] = host_api.find_arms(
+                    ctg, store[cid], f.k, MS2.k, False,
+                    ARMS_SETTINGS.short_arm_coef, f.threads)
+            else:
+                for aln in store[cid]:
+                    aln.find_short_arms(f.k, ctg)
         mon.stop("[hypo_tpu] Short arms. ")
 
         mon.start()
         for cid in range(lo, hi):
-            self.contigs[cid].fill_short_windows(store[cid])
+            if native_host:
+                self.contigs[cid].add_arm_table(store[cid],
+                                                arm_tables.pop(cid))
+                self.contigs[cid].fill_short_windows([])
+            else:
+                self.contigs[cid].fill_short_windows(store[cid])
             store[cid] = []
         mon.stop("[hypo_tpu] Window fill. ")
 
         if lr_stream is not None:
             mon.start()
+            lloaded, _n, _ninv = lr_stream.load_until(
+                hi, f.map_qual_th, norm_edit_th=f.norm_edit_th,
+                contig_lens=clens)
             lstore: Dict[int, List[Alignment]] = {
                 c: [] for c in range(lo, hi)}
-            for cid, rec in lr_stream.records_until(hi):
-                if rec.mapq < f.map_qual_th:
-                    continue
-                aln = Alignment.from_record(rec, self.contigs[cid].length,
-                                            norm_edit_th=f.norm_edit_th)
-                if aln.is_valid:
-                    lstore[cid].append(aln)
+            lstore.update(lloaded)
             for cid in range(lo, hi):
                 self.contigs[cid].prepare_long_windows(ws)
             for cid in range(lo, hi):
                 ctg = self.contigs[cid]
-                for aln in lstore[cid]:
-                    aln.find_long_arms(ctg)
-            for cid in range(lo, hi):
-                self.contigs[cid].fill_long_windows(lstore[cid])
+                if native_host:
+                    table = host_api.find_arms(
+                        ctg, lstore[cid], f.k, MS2.k, True,
+                        ARMS_SETTINGS.short_arm_coef, f.threads)
+                    ctg.add_arm_table(lstore[cid], table)
+                    ctg.fill_long_windows([])
+                else:
+                    for aln in lstore[cid]:
+                        aln.find_long_arms(ctg)
+                    ctg.fill_long_windows(lstore[cid])
                 lstore[cid] = []
             mon.stop("[hypo_tpu] Long arms. ")
 
@@ -242,12 +298,11 @@ class Polisher:
                            if w is not None]
             nwin += runner.run_windows(all_windows)
         else:
-            for cid in range(lo, hi):
-                ctg = self.contigs[cid]
-                for w in ctg.windows:
-                    if w is not None:
-                        engine.generate_consensus(w)
-                        nwin += 1
+            all_windows = [w for cid in range(lo, hi)
+                           for w in self.contigs[cid].windows
+                           if w is not None]
+            nwin += engine.generate_consensus_batch(all_windows,
+                                                    f.threads)
         mon.stop(f"[hypo_tpu] POA over {nwin} windows. ")
 
         if f.inspect:

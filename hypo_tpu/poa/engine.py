@@ -31,6 +31,9 @@ HEAD = "J"
 TAIL = "O"
 CURATE_THRESH = 0.4  # Window::_cThresh
 
+# 2-bit code bytes -> ASCII letters, for bytes.translate
+_CODE2ASCII = bytes.maketrans(bytes(range(5)), b"ACGTN")
+
 
 class ConsensusEngine:
     """Per-thread/engine-free consensus generator for windows.
@@ -70,6 +73,50 @@ class ConsensusEngine:
                                               prev=None)
         else:
             window.consensus = decode(window.draft)
+
+    def generate_consensus_batch(self, windows, nthreads: int = 0) -> int:
+        """Consensus for many windows in one native OpenMP dispatch (the
+        reference's per-window OMP loop, Hypo.cpp:237-247).  Windows the
+        dispatch rules settle without POA are handled inline.  Returns
+        the number of windows processed; falls back to the serial path
+        when the native library is missing."""
+        if not self.use_native:
+            for w in windows:
+                self.generate_consensus(w)
+            return len(windows)
+        from ..dna import decode
+        from ..native.api import (INTERNAL_KIND, PREFIX_KIND, SUFFIX_KIND,
+                                  native_window_consensus_batch)
+        jobs = []
+        poa_windows = []
+        for w in windows:
+            num_non_empty = w.num_internal + w.num_pre + w.num_suf
+            if w.num_empty > num_non_empty:
+                w.consensus = ""
+            elif num_non_empty >= 2:
+                arms = ([(a.tobytes(), INTERNAL_KIND)
+                         for a in w.internal_arms]
+                        + [(a.tobytes(), PREFIX_KIND) for a in w.pre_arms]
+                        + [(a.tobytes(), SUFFIX_KIND) for a in w.suf_arms])
+                # codes 0..3 -> ASCII via translate (C-speed)
+                arms = [(ab.translate(_CODE2ASCII), k) for ab, k in arms]
+                jobs.append((w.wtype, w.draft.tobytes().translate(
+                    _CODE2ASCII), arms, w.num_internal, w.num_empty))
+                poa_windows.append(w)
+            else:
+                w.consensus = decode(w.draft)
+        if jobs:
+            sp = self.sp
+            res = native_window_consensus_batch(
+                jobs, (sp.sr_match, sp.sr_mismatch, sp.sr_gap),
+                (sp.lr_match, sp.lr_mismatch, sp.lr_gap),
+                self.fix_long_align_type, nthreads)
+            for w, cons in zip(poa_windows, res):
+                if cons is None:  # overflow: serial fallback
+                    self.generate_consensus(w)
+                else:
+                    w.consensus = cons
+        return len(windows)
 
     def _native(self, window):
         from ..native import native_window_consensus
