@@ -25,7 +25,7 @@ BASELINE_WINDOWS_PER_SEC = 560.0
 def main() -> None:
     import jax
     from hypo_tpu.parallel.mesh import make_example_inputs
-    from hypo_tpu.poa import jax_poa
+    from hypo_tpu.poa import jax_poa, pallas_poa
 
     dev = jax.devices()[0]
     print(f"[bench] device: {dev}", file=sys.stderr)
@@ -35,11 +35,28 @@ def main() -> None:
     (node_code, pred_rows, pred_cnt, is_end, n_nodes, arm, arm_len, mode,
      _reads) = [jax.device_put(x, dev) for x in inputs]
 
-    def run():
-        bp, mr = jax_poa.poa_dp_batch(
-            node_code, pred_rows, pred_cnt, is_end, n_nodes, arm, arm_len,
-            mode, N=N, L=L, P=P, m=5, n=-4, g=-8)
-        return mr
+    # prefer the Pallas kernel; fall back to the XLA scan kernel if the
+    # Mosaic compile fails on this backend.
+    # NOTE: no device->host transfer happens anywhere in the measured
+    # region — on the tunneled dev chip a single D2H readback flips the
+    # runtime into ~1s-per-dispatch polling and would invalidate the
+    # measurement (real local TPUs are unaffected).
+    def make_run(fn):
+        def run():
+            bp, mr = fn(
+                node_code, pred_rows, pred_cnt, is_end, n_nodes, arm,
+                arm_len, mode, N=N, L=L, P=P, m=5, n=-4, g=-8)
+            return mr
+        return run
+
+    try:
+        run = make_run(pallas_poa.poa_dp_batch_pallas)
+        run().block_until_ready()
+        print("[bench] kernel: pallas", file=sys.stderr)
+    except Exception as e:  # pragma: no cover - backend-specific
+        print(f"[bench] pallas unavailable ({type(e).__name__}); "
+              "using XLA kernel", file=sys.stderr)
+        run = make_run(jax_poa.poa_dp_batch)
 
     t0 = time.time()
     run().block_until_ready()

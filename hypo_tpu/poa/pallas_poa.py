@@ -1,0 +1,218 @@
+"""Pallas TPU kernel for the batched POA DP — tie-exact with
+hypo_tpu.poa.jax_poa.poa_dp_batch, ~3x faster on v5e (measured 1.15
+Tcells/s vs 0.39 for the XLA scan at the bench bucket).
+
+Why it beats the XLA formulation (jax_poa._dp_one):
+
+- H stays resident in VMEM for the whole row sweep ([TW, N+2, LP] i32
+  per grid step); the XLA scan carries H through HBM and re-gathers
+  predecessor rows from HBM every step.
+- The per-(window, pred) gather is a narrow VMEM copy at a scalar
+  index read from SMEM — no gather instruction at all.
+- Unused predecessor slots point at a permanently-NEG row (N+1), so
+  the kernel has no masking work per slot.
+- The match/mismatch profile is precomputed for ALL rows in one XLA
+  elementwise op ([B, N, LP]) and streamed per block, removing the
+  per-row dynamic-lane indexing Mosaic cannot lower.
+- The argmax over end rows runs inside the kernel as a running max of
+  an encoded (masked score, N - r) integer — wide vector ops only, no
+  per-row reductions, no H materialization to HBM at all.
+
+Semantics replicated from the reference traceback priority
+(sisd_alignment_engine.cpp:363-428) exactly as in jax_poa: bp codes
+0..P-1 diag via pred p, P..2P-1 vertical via pred p, 2P horizontal;
+max_row picks the first maximum among eligible rows (is_end for
+NW/ROV, all valid rows for LOV).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NW, LOV, ROV = 0, 1, 2
+NEG = -16384  # same sentinel as jax_poa.NEG16 -> identical cell values
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=None)
+def _build_kernel(N: int, L: int, P: int, TW: int, g: int):
+    assert N < 2048  # row index must fit the argmax encoding
+    LP = _round_up(L + 2, 128)  # lane LP-1 carries the elig flag
+
+    def kernel(pred_ref, prof_ref, rov_ref, atsel_ref, bp_ref, best_ref,
+               H, Hp, bestv):
+        jj = jax.lax.broadcasted_iota(jnp.int32, (TW, LP), 1)
+        jjg = jj * g
+        H[:, 0, :] = jnp.where(jj <= L, jjg, NEG)
+        H[:, N + 1, :] = jnp.full((TW, LP), NEG, jnp.int32)
+        rov = jnp.stack([rov_ref[w, 0] for w in range(TW)])  # [TW]
+        atsel = atsel_ref[:, :]  # [TW, LP] 1 only at lane arm_len[w]
+        bestv[:, :] = jnp.full((TW, LP), -(2 ** 30), jnp.int32)
+
+        def row_step(r, carry):
+            for w in range(TW):
+                for p in range(P):
+                    idx = pred_ref[w, r * P + p]
+                    Hp[p, w, :] = H[w, idx, :]
+            prof = prof_ref[:, r, :]
+            Hpm = Hp[:, :, :]
+            shifted = pltpu.roll(Hpm, 1, 2)
+            first3 = jax.lax.broadcasted_iota(
+                jnp.int32, (P, TW, LP), 2) == 0
+            diag = jnp.where(first3, NEG, shifted) + prof[None, :, :]
+            vert = Hpm + g
+            dv = jnp.maximum(diag, vert)
+            tmp = dv[0]
+            for p in range(1, P):
+                tmp = jnp.maximum(tmp, dv[p])
+            c0 = Hpm[0, :, 0]
+            for p in range(1, P):
+                c0 = jnp.maximum(c0, Hpm[p, :, 0])
+            col0 = jnp.where(rov == 1, 0, c0 + g)  # [TW]
+            first2 = jax.lax.broadcasted_iota(
+                jnp.int32, (TW, LP), 1) == 0
+            val = jnp.where(first2, col0[:, None], tmp)
+            run = val - jjg
+            step = 1
+            while step < LP:
+                sh = pltpu.roll(run, step, 1)
+                mask = jax.lax.broadcasted_iota(
+                    jnp.int32, (TW, LP), 1) >= step
+                run = jnp.maximum(run, jnp.where(mask, sh, NEG))
+                step *= 2
+            row = run + jjg
+            H[:, r + 1, :] = row
+            # backpointers: priority diag p0.. < vert p0.. < horiz,
+            # first hit wins (assign from lowest priority upward)
+            bp = jnp.full((TW, LP), 2 * P, dtype=jnp.int32)
+            for p in range(P - 1, -1, -1):
+                bp = jnp.where(vert[p] == row, P + p, bp)
+            for p in range(P - 1, -1, -1):
+                bp = jnp.where(diag[p] == row, p, bp)
+            if P > 1:
+                bp0 = jnp.full((TW,), P, dtype=jnp.int32)
+                for p in range(P - 1, -1, -1):
+                    bp0 = jnp.where(Hpm[p, :, 0] + g == col0, P + p, bp0)
+            else:
+                bp0 = jnp.full((TW,), P, dtype=jnp.int32)
+            bp = jnp.where(first2, bp0[:, None], bp)
+            bp_ref[:, r, :] = bp
+            # online first-argmax of masked H[r+1, arm_len], fully
+            # vectorized: encode (masked score, N - r) in one int so a
+            # plain running max reproduces jax_poa's argmax tie rule
+            # (first maximum wins).  elig flag rides in prof lane LP-1.
+            elig = prof[:, LP - 1][:, None]  # [TW, 1] 0/1
+            masked = jnp.where(atsel == 1,
+                               jnp.where(elig == 1, row, NEG),
+                               -(2 ** 18))
+            enc = masked * 2048 + (N - r)
+            bestv[:, :] = jnp.maximum(bestv[:, :], enc)
+            return carry
+
+        jax.lax.fori_loop(0, N, row_step, 0)
+        best_ref[:, :] = bestv[:, :]
+
+    return kernel, LP
+
+
+@functools.lru_cache(maxsize=None)
+def _build_run(N: int, L: int, P: int, m: int, n: int, g: int, TW: int,
+               interpret: bool):
+    kernel, LP = _build_kernel(N, L, P, TW, g)
+
+    @jax.jit
+    def run(node_code, pred_rows, pred_cnt, is_end, n_nodes, arm,
+            arm_len, mode):
+        B0 = node_code.shape[0]
+        B = _round_up(max(B0, TW), TW)
+        pad = B - B0
+
+        def padb(x):
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)
+
+        node_code, pred_rows, pred_cnt, is_end, n_nodes, arm, arm_len, \
+            mode = map(padb, (node_code, pred_rows, pred_cnt, is_end,
+                              n_nodes, arm, arm_len, mode))
+        # unused pred slots -> permanent NEG row N+1
+        parange = jnp.arange(P, dtype=pred_cnt.dtype)
+        pred = jnp.where(parange[None, None, :] < pred_cnt[:, :, None],
+                         pred_rows, N + 1).astype(jnp.int32)
+        # profile for all rows: lane j is match(arm[j-1]) (lane 0 unused)
+        armx = jnp.pad(arm.astype(jnp.int32) + 8,
+                       ((0, 0), (1, LP - 1 - arm.shape[1])),
+                       constant_values=-1)
+        prof = jnp.where(armx[:, None, :]
+                         == (node_code.astype(jnp.int32) + 8)[:, :, None],
+                         jnp.int32(m), jnp.int32(n))
+        # elig flag (valid row & mode rule) rides in prof lane LP-1
+        valid = jnp.arange(N)[None, :] < n_nodes[:, None]
+        elig = jnp.where((mode == LOV)[:, None], valid,
+                         valid & is_end).astype(jnp.int32)    # [B, N]
+        prof = prof.at[:, :, LP - 1].set(elig)
+        rov = (mode == ROV).astype(jnp.int32)[:, None]        # [B, 1]
+        atsel = (jnp.arange(LP)[None, :]
+                 == arm_len[:, None]).astype(jnp.int32)       # [B, LP]
+
+        grid = (B // TW,)
+        bp, best = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TW, N * P), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((TW, N, LP), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TW, 1), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((TW, LP), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((TW, N, LP), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TW, LP), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, N, LP), jnp.int32),
+                jax.ShapeDtypeStruct((B, LP), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((TW, N + 2, LP), jnp.int32),
+                pltpu.VMEM((P, TW, LP), jnp.int32),
+                pltpu.VMEM((TW, LP), jnp.int32),
+            ],
+            interpret=interpret,
+        )(pred.reshape(B, N * P), prof, rov, atsel)
+        # decode (masked score, N - r) running max -> first-argmax row
+        bestenc = jnp.max(best, axis=1)                       # [B]
+        max_row = (N - jnp.mod(bestenc, 2048) + 1).astype(jnp.int32)
+        # match jax_poa convention: zeros row 0, crop lanes to L+1
+        bp_full = jnp.concatenate(
+            [jnp.zeros((B, 1, L + 1), jnp.int8),
+             bp[:, :, :L + 1].astype(jnp.int8)], axis=1)
+        return bp_full[:B0], max_row[:B0]
+
+    return run
+
+
+def poa_dp_batch_pallas(node_code, pred_rows, pred_cnt, is_end, n_nodes,
+                        arm, arm_len, mode, *, N: int, L: int, P: int,
+                        m: int, n: int, g: int, TW: int = 8,
+                        interpret: bool = False):
+    """Drop-in twin of jax_poa.poa_dp_batch: returns (bp int8
+    [B, N+1, L+1], max_row int32 [B]).  B is padded to a TW multiple
+    internally."""
+    run = _build_run(N, L, P, m, n, g, TW, interpret)
+    return run(node_code, pred_rows, pred_cnt, is_end, n_nodes, arm,
+               arm_len, mode)
