@@ -24,7 +24,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..poa import jax_poa
 
@@ -73,7 +76,7 @@ def make_sharded_polish_step(mesh: Mesh, N: int, L: int, Pcap: int,
         local_step, mesh=mesh,
         in_specs=(spec_b,) * 8 + (spec_b,),
         out_specs=(spec_b, spec_b, P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded)
 
 

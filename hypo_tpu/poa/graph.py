@@ -309,6 +309,54 @@ class Graph:
                 node_id = nxt
         return consensus_str, dst
 
+    def generate_consensus_custom2(self, interesting: List[int]
+                                   ) -> Tuple[str, List[int]]:
+        """Like generate_consensus_custom but counting only the sequence
+        labels in ``interesting`` (HyPo-added spoa graph.cpp:571-606;
+        defined for subset-curated long windows)."""
+        consensus_str = self.generate_consensus()
+        dst = [0] * len(self.consensus_ids)
+        msa_ids, _ = self.init_msa_ids()
+        cons_msa = [msa_ids[nid] for nid in self.consensus_ids]
+        for i in interesting:
+            node_id = self.sequences_begin_nodes_ids[i]
+            if node_id == -1:
+                continue
+            c = 0
+            while True:
+                while (c < len(self.consensus_ids)
+                       and cons_msa[c] < msa_ids[node_id]):
+                    c += 1
+                if c >= len(self.consensus_ids):
+                    break
+                if cons_msa[c] == msa_ids[node_id]:
+                    letter = self.decoder[self.nodes[node_id].code]
+                    if letter == consensus_str[c]:
+                        dst[c] += 1
+                nxt = self.nodes[node_id].successor(i)
+                if nxt is None:
+                    break
+                node_id = nxt
+        return consensus_str, dst
+
+    def generate_msa_custom(self, interesting: List[int]) -> List[str]:
+        """MSA rows for the sequence labels in ``interesting`` only
+        (HyPo-added spoa graph.cpp:391-427)."""
+        msa_ids, msa_len = self.init_msa_ids()
+        out = []
+        for i in interesting:
+            row = ["-"] * msa_len
+            nid = self.sequences_begin_nodes_ids[i]
+            if nid != -1:
+                while True:
+                    row[msa_ids[nid]] = self.decoder[self.nodes[nid].code]
+                    nxt = self.nodes[nid].successor(i)
+                    if nxt is None:
+                        break
+                    nid = nxt
+            out.append("".join(row))
+        return out
+
     def generate_msa(self, include_consensus: bool = False) -> List[str]:
         """Multiple sequence alignment strings (graph.cpp:429-465)."""
         msa_ids, msa_len = self.init_msa_ids()

@@ -136,3 +136,28 @@ def test_long_window_consensus_two_rounds():
     w = _window(draft, internals=[truth] * 5, wtype=LONG)
     eng.generate_consensus(w)
     assert w.consensus == truth
+
+def test_consensus_custom2_subset_counts():
+    # HyPo-added spoa graph.cpp:571-606: counts restricted to a subset
+    graph = Graph()
+    eng = PoaAligner(3, -5, -4)
+    seqs = ["ACGTACGT", "ACGTACGT", "ACCTACGT"]
+    for s in seqs:
+        graph.add_alignment(eng.align(s, graph, NW), s)
+    cons, dst = graph.generate_consensus_custom2([0, 1])
+    assert cons == "ACGTACGT"
+    assert dst[0] == 2 and dst[2] == 2  # only the two exact copies count
+    _, dst_all = graph.generate_consensus_custom2([0, 1, 2])
+    _, dst_ref = graph.generate_consensus_custom()
+    assert dst_all == dst_ref
+
+
+def test_msa_custom_subset_rows():
+    graph = Graph()
+    eng = PoaAligner(5, -4, -8)
+    seqs = ["ACGT", "AGGT", "ACGT"]
+    for s in seqs:
+        graph.add_alignment(eng.align(s, graph, NW), s)
+    rows = graph.generate_msa_custom([1, 2])
+    assert rows == ["AGGT", "ACGT"]
+    assert graph.generate_msa_custom([0, 1, 2]) == graph.generate_msa()
