@@ -46,6 +46,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "window bucket); exact: per-round device DP, "
                          "bit-identical to the host engine")
     ap.add_argument("--aux-dir", default="aux")
+    ap.add_argument("--nproc", type=int, default=1,
+                    help="number of polishing processes (hosts); contigs "
+                         "are split into contiguous draft-order ranges")
+    ap.add_argument("--procid", type=int, default=0,
+                    help="this process's rank in [0, nproc)")
+    ap.add_argument("--coordinator", default="",
+                    help="jax.distributed coordinator address "
+                         "(host:port) for pod slices; optional")
     ap.add_argument("--inspect", action="store_true",
                     help="write aux/regions.bed and aux/inspect.txt "
                          "(reference generate_inspect_file artifacts)")
@@ -105,7 +113,12 @@ def flags_from_args(args) -> InputFlags:
         use_device_poa=args.device_poa,
         device_poa_mode=args.device_poa_mode,
         inspect=args.inspect,
+        num_processes=args.nproc,
+        process_id=args.procid,
+        coordinator=args.coordinator,
     )
+    if not (0 <= flags.process_id < flags.num_processes):
+        raise SystemExit("--procid must be in [0, --nproc)")
     return flags
 
 

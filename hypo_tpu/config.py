@@ -110,6 +110,12 @@ class InputFlags:
     #          to the host oracle engine
     device_poa_mode: str = "full"
     seed: int = 0
+    # multi-host sharding (no reference equivalent — it is single-node):
+    # contigs split into contiguous ranges; each process streams its own
+    # BAM slice and writes output.shard{pid}; rank 0 gathers.
+    num_processes: int = 1
+    process_id: int = 0
+    coordinator: str = ""  # jax.distributed coordinator (pod slices)
 
     def __post_init__(self):
         if not self.legacy_dead_set_kind:

@@ -58,6 +58,30 @@ def shard_contigs(lengths: Sequence[int], num_shards: int
     return shards
 
 
+def shard_contigs_contiguous(lengths: Sequence[int], num_shards: int
+                             ) -> List[Tuple[int, int]]:
+    """Split contigs into ``num_shards`` contiguous [lo, hi) ranges with
+    roughly balanced total length.  Contiguity lets every host stream
+    exactly its slice of the draft-contig-sorted BAM (skip to lo, stop
+    at hi) with no index.  Deterministic across hosts."""
+    total = sum(int(x) for x in lengths)
+    n = len(lengths)
+    bounds = [0]
+    acc = 0
+    for s in range(1, num_shards):
+        target = total * s / num_shards
+        lo = bounds[-1]
+        cut = lo
+        while cut < n and (acc + lengths[cut] / 2.0) < target:
+            acc += int(lengths[cut])
+            cut += 1
+        # never produce an empty middle shard while contigs remain
+        cut = min(max(cut, lo), n)
+        bounds.append(cut)
+    bounds.append(n)
+    return [(bounds[i], bounds[i + 1]) for i in range(num_shards)]
+
+
 def shard_files(paths: Sequence[str], process_id: int,
                 num_processes: int) -> List[str]:
     """Round-robin read-file assignment for distributed k-mer counting."""

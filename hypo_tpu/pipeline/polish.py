@@ -51,6 +51,12 @@ class _NativeStream:
         from ..native import bam_api
         self.inner = bam_api.NativeBamStream(path, cname_to_id)
 
+    def skip_until(self, final_cid: int) -> None:
+        """Advance the stream past all records of contigs < final_cid
+        (multi-host shard skip).  mapq threshold 256 > uint8 max drops
+        every parsed record."""
+        self.inner.load_until(final_cid, 256, None)
+
     def load_until(self, final_cid: int, min_mapq: int,
                    norm_edit_th=None, contig_lens=None):
         """Returns (store: cid -> [Alignment], n_valid, n_invalid)."""
@@ -100,6 +106,11 @@ class _BamStream:
                 return
             yield cid, rec
 
+    def skip_until(self, final_cid: int) -> None:
+        """Advance the stream past all records of contigs < final_cid."""
+        for _ in self.records_until(final_cid):
+            pass
+
     def load_until(self, final_cid: int, min_mapq: int,
                    norm_edit_th=None, contig_lens=None):
         """Same contract as _NativeStream.load_until."""
@@ -135,7 +146,9 @@ class Polisher:
             self.monitor.stop("[hypo_tpu] Loaded solid kmers. ")
             return sk
         sk = SolidKmers(f.k).initialise(f.sr_filenames, f.cov)
-        if f.intermed:
+        # checkpoints are written by rank 0 only (shared-fs race; every
+        # process computes the identical bitmask deterministically)
+        if f.intermed and f.process_id == 0:
             os.makedirs(f.aux_dir, exist_ok=True)
             sk.store(skfile)
             with open(stagefile, "a") as fh:
@@ -147,6 +160,9 @@ class Polisher:
     def polish(self) -> None:
         f = self.flags
         mon = self.monitor
+        if f.coordinator:
+            from ..parallel import distributed as dist
+            dist.initialize(f.coordinator, f.num_processes, f.process_id)
         mon.start()
         sk = self._get_solid_kmers()
         print(f"[hypo_tpu] solid (canonical, non-HP) kmers: "
@@ -159,28 +175,54 @@ class Polisher:
             self.contigs.append(Contig(cid, name, seq))
         mon.stop("[hypo_tpu] Loaded contigs. ")
 
+        n_contigs = len(self.contigs)
+        if f.num_processes > 1:
+            from ..parallel.distributed import shard_contigs_contiguous
+            shard_lo, shard_hi = shard_contigs_contiguous(
+                [c.length for c in self.contigs],
+                f.num_processes)[f.process_id]
+            print(f"[hypo_tpu] shard {f.process_id}/{f.num_processes}: "
+                  f"contigs [{shard_lo}, {shard_hi})")
+        else:
+            shard_lo, shard_hi = 0, n_contigs
+
         mon.start()
-        for ctg in self.contigs:
+        for ctg in self.contigs[shard_lo:shard_hi]:
             ctg.find_solid_pos(sk)
         mon.stop("[hypo_tpu] Found solid positions. ")
 
-        n_contigs = len(self.contigs)
-        batch = f.processing_batch_size or n_contigs
-        num_batches = (n_contigs + batch - 1) // batch
+        batch = f.processing_batch_size or max(1, shard_hi - shard_lo)
         sr_stream = open_stream(f.sr_bam_filename, cname_to_id)
         lr_stream = (None if self.no_long_reads
                      else open_stream(f.lr_bam_filename, cname_to_id))
+        if shard_lo > 0:
+            sr_stream.skip_until(shard_lo)
+            if lr_stream is not None:
+                lr_stream.skip_until(shard_lo)
         engine = ConsensusEngine(f.score_params)
 
-        for b in range(num_batches):
-            lo = b * batch
-            hi = min(n_contigs, lo + batch)
+        lo = shard_lo
+        while lo < shard_hi:
+            hi = min(shard_hi, lo + batch)
             self._polish_batch(sr_stream, lr_stream, engine, lo, hi)
+            lo = hi
 
         mon.start()
-        write_fasta(f.output_filename,
-                    ((c.name, c.polished_seq(self.no_long_reads))
-                     for c in self.contigs))
+        shard = self.contigs[shard_lo:shard_hi]
+        if f.num_processes > 1:
+            from ..parallel.distributed import gather_polished_fasta
+            shard_path = f"{f.output_filename}.shard{f.process_id}"
+            write_fasta(shard_path,
+                        ((c.name, c.polished_seq(self.no_long_reads))
+                         for c in shard))
+            open(shard_path + ".done", "w").close()
+            gather_polished_fasta(f.output_filename, f.num_processes,
+                                  f.process_id,
+                                  [c.name for c in self.contigs])
+        else:
+            write_fasta(f.output_filename,
+                        ((c.name, c.polished_seq(self.no_long_reads))
+                         for c in shard))
         mon.stop("[hypo_tpu] Wrote results. ")
         mon.total("[hypo_tpu] Overall. ")
 

@@ -89,3 +89,33 @@ def test_batched_contigs_match_single_batch(tmp_path):
     import hypo_tpu.io.fasta as fasta
     assert list(fasta.read_fastx(f1.output_filename)) == \
         list(fasta.read_fastx(f2.output_filename))
+
+
+def test_multiprocess_shards_match_single_process(tmp_path):
+    # emulate 2 hosts over a shared filesystem: run each shard's polish
+    # sequentially, then the rank-0 gather must byte-match 1-process
+    paths = simulate(SimConfig(genome_size=12000, num_contigs=4, seed=13),
+                     str(tmp_path))
+    f1 = _flags(paths, tmp_path)
+    f1.output_filename = str(tmp_path / "one.fa")
+    polish(f1)
+    out_multi = str(tmp_path / "multi.fa")
+    for pid in (1, 0):  # rank 0 last: its gather expects shard 1 present
+        fp = _flags(paths, tmp_path, num_processes=2, process_id=pid)
+        fp.output_filename = out_multi
+        polish(fp)
+    import hypo_tpu.io.fasta as fasta
+    assert list(fasta.read_fastx(f1.output_filename)) == \
+        list(fasta.read_fastx(out_multi))
+
+
+def test_shard_contigs_contiguous_partition():
+    from hypo_tpu.parallel.distributed import shard_contigs_contiguous
+    lengths = [100, 5000, 40, 40, 3000, 900, 10]
+    shards = shard_contigs_contiguous(lengths, 3)
+    assert shards[0][0] == 0 and shards[-1][1] == len(lengths)
+    for (a, b), (c, d) in zip(shards, shards[1:]):
+        assert b == c and a <= b and c <= d
+    # balanced-ish: no shard holds everything
+    loads = [sum(lengths[a:b]) for a, b in shards]
+    assert max(loads) < sum(lengths)
