@@ -106,6 +106,23 @@ def test_kernel_flags_overflow_and_matches_elsewhere():
             assert cs[b, :cl[b]].tolist() == sup
 
 
+def test_full_kernel_pallas_dp_matches_xla_dp():
+    """The production TPU path (Pallas DP inside the full kernel) must be
+    bit-identical to the XLA-scan DP path."""
+    N, L, K, P = 96, 64, 10, 8
+    rng = np.random.default_rng(123)
+    B = 6
+    arms, alen, amode, narms, _specs = _random_jobs(
+        rng, B, K, L, tlen=30, err=0.12)
+    out_x = DF.poa_full_batch(arms, alen, amode, narms, N=N, L=L, K=K,
+                              P=P, m=5, n=-4, g=-8, dp_impl="xla")
+    out_p = DF.poa_full_batch(arms, alen, amode, narms, N=N, L=L, K=K,
+                              P=P, m=5, n=-4, g=-8,
+                              dp_impl="pallas_interpret")
+    for a, b in zip(out_x, out_p):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_colpoa_spec_matches_spoa_oracle_consensus():
     """The deliberate tie-order differences (colpoa_ref docstring) do not
     change the consensus on randomized realistic windows."""
