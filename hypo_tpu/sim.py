@@ -18,11 +18,10 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from .dna import decode, encode, revcomp
+from .dna import decode, revcomp
 from .io.bam import FREVERSE, BamRecord
 from .io.bam import write_bam as _write_bam
 from .io.fasta import write_fasta
-from .utils.alnutil import semiglobal_align
 
 
 @dataclasses.dataclass
@@ -43,49 +42,159 @@ class SimConfig:
 
 
 def _mutate(rng, codes: np.ndarray, rate: float) -> np.ndarray:
-    """Apply SNPs/insertions/deletions at ~rate per base."""
-    out: List[int] = []
-    i = 0
+    """Apply SNPs/insertions/deletions at ~rate per base (vectorized)."""
+    snp, ins, dele, out = _mutation_events(rng, codes, rate)
+    seq, _t2d, _ins_dpos = _apply_events(codes, snp, ins, dele, out)
+    return seq
+
+
+# -- event-based mutation + edit-script composition --------------------------
+#
+# The simulator never runs an aligner: both truth->draft and truth->read
+# are generated as explicit event lists (SNP / 1-base insertion / 1-base
+# deletion at a truth coordinate), and the read-vs-draft CIGAR + exact NM
+# come from composing the two scripts through truth coordinates.  This
+# is what makes >=1 Mbp bench datasets and >=100 Mbp RSS runs feasible
+# (the previous per-read semiglobal DP needed ~10 min per Mbp).
+
+def _mutation_events(rng, codes: np.ndarray, rate: float):
+    """Draw one event per position: (snp, ins, dele) masks + replacement/
+    inserted base values.  ins inserts one random base BEFORE position i
+    (i itself still emitted); dele drops position i."""
     n = len(codes)
-    while i < n:
-        r = rng.random()
-        if r < rate:
-            kind = rng.integers(0, 3)
-            if kind == 0:  # SNP
-                out.append((int(codes[i]) + int(rng.integers(1, 4))) % 4)
-                i += 1
-            elif kind == 1:  # insertion
-                out.append(int(rng.integers(0, 4)))
-            else:  # deletion
-                i += 1
+    ev = rng.random(n) < rate
+    kind = rng.integers(0, 3, size=n)
+    snp = ev & (kind == 0)
+    ins = ev & (kind == 1)
+    dele = ev & (kind == 2)
+    out = np.empty(n, dtype=np.uint8)
+    out[:] = codes
+    nsnp = int(snp.sum())
+    if nsnp:
+        out[snp] = (codes[snp] + rng.integers(1, 4, size=nsnp)) % 4
+    return snp, ins, dele, out
+
+
+def _apply_events(codes, snp, ins, dele, out_bases, rng=None,
+                  ins_bases=None):
+    """Materialize the mutated sequence.  Returns (seq, t2d, ins_dpos):
+    t2d[i] = output coordinate of truth base i (or -1 if deleted);
+    ins_dpos[i] = output coordinate of the base inserted before i (or -1).
+    """
+    n = len(codes)
+    emit = ~dele
+    emit_count = ins.astype(np.int64) + emit
+    start = np.cumsum(emit_count) - emit_count
+    total = int(start[-1] + emit_count[-1]) if n else 0
+    seq = np.empty(total, dtype=np.uint8)
+    nins = int(ins.sum())
+    if nins:
+        if ins_bases is None:
+            ins_bases = rng.integers(0, 4, size=nins).astype(np.uint8)
+        seq[start[ins]] = ins_bases
+    tdst = start + ins
+    seq[tdst[emit]] = out_bases[emit]
+    t2d = np.where(emit, tdst, -1)
+    ins_dpos = np.where(ins, start, -1)
+    return seq, t2d, ins_dpos
+
+
+M_OP, I_OP, D_OP = 0, 1, 2
+
+
+def _compose_read(s, e, g, dbase, t2d, ins_dpos, d_ev_t, d_kind,
+                  q_ev_t, q_kind, q_base):
+    """Compose truth->draft events with truth->read events over the truth
+    window [s, e) into (read_codes, pos, cigar ops/lens, exact NM).
+
+    d_ev_t/d_kind: truth coords + kinds (0 snp, 1 ins, 2 del) of draft
+    events inside the window; q_ev_t/q_kind/q_base likewise for the read
+    (q_base = replacement or inserted base).  dbase[t] is the draft's
+    base at truth coord t (SNP-applied; meaningless where deleted)."""
+    cols = {}
+    for t, k in zip(d_ev_t, d_kind):
+        cols.setdefault(int(t), [None, None])[0] = int(k)
+    for t, k, b in zip(q_ev_t, q_kind, q_base):
+        cols.setdefault(int(t), [None, None])[1] = (int(k), int(b))
+    ops: List[int] = []
+    lens: List[int] = []
+    segs: List[np.ndarray] = []
+    one = np.empty(1, np.uint8)
+
+    def emit(op, ln):
+        if ops and ops[-1] == op:
+            lens[-1] += ln
         else:
-            out.append(int(codes[i]))
-            i += 1
-    return np.array(out, dtype=np.uint8)
+            ops.append(op)
+            lens.append(ln)
 
-
-def _sample_read(rng, genome: np.ndarray, length: int, err: float,
-                 dropout=None) -> Tuple[np.ndarray, int, bool]:
-    for _ in range(50):
-        start = int(rng.integers(0, max(1, len(genome) - length)))
-        if dropout is None:
+    nm = 0
+    pos = -1
+    prev = s
+    for t in sorted(cols):
+        if t >= e:
             break
-        ds, de = dropout
-        if start + length <= ds * len(genome) or start >= de * len(genome):
-            break
-    read = genome[start:start + length].copy()
-    if err > 0:
-        read = _mutate(rng, read, err)
-    rev = bool(rng.integers(0, 2))
-    return read, start, rev
-
-
-def _align_read(read: np.ndarray, draft: np.ndarray, approx: int,
-                pad: int) -> Tuple[int, np.ndarray, np.ndarray, int]:
-    lo = max(0, approx - pad)
-    hi = min(len(draft), approx + len(read) + pad)
-    _score, ops, lens, rstart, nm = semiglobal_align(read, draft[lo:hi])
-    return lo + rstart, ops, lens, nm
+        if t > prev:  # event-free gap: exact match run
+            if pos < 0:
+                pos = int(t2d[prev])
+            emit(M_OP, t - prev)
+            segs.append(g[prev:t])
+        dk, q = cols[t]
+        if dk == 1:  # draft insertion before t -> ref-only base
+            if pos < 0:
+                pos = int(ins_dpos[t])
+            emit(D_OP, 1)
+            nm += 1
+        if q is not None and q[0] == 1:  # read insertion before t
+            emit(I_OP, 1)
+            nm += 1
+            seg = one.copy()
+            seg[0] = q[1]
+            segs.append(seg)
+        q_emits = q is None or q[0] != 2
+        r_emits = dk != 2
+        if q_emits:
+            bq = g[t] if (q is None or q[0] != 0) else q[1]
+        if q_emits and r_emits:
+            if pos < 0:
+                pos = int(t2d[t])
+            emit(M_OP, 1)
+            nm += int(bq != dbase[t])
+            seg = one.copy()
+            seg[0] = bq
+            segs.append(seg)
+        elif r_emits:
+            if pos < 0:
+                pos = int(t2d[t])
+            emit(D_OP, 1)
+            nm += 1
+        elif q_emits:
+            emit(I_OP, 1)
+            nm += 1
+            seg = one.copy()
+            seg[0] = bq
+            segs.append(seg)
+        prev = t + 1
+    if prev < e:
+        if pos < 0:
+            pos = int(t2d[prev])
+        emit(M_OP, e - prev)
+        segs.append(g[prev:e])
+    # real aligners never emit boundary deletions: trim them (adjusting
+    # pos and NM), so downstream CIGAR walkers see realistic records
+    while ops and ops[0] == D_OP:
+        pos += lens[0]
+        nm -= lens[0]
+        ops.pop(0)
+        lens.pop(0)
+    while ops and ops[-1] == D_OP:
+        nm -= lens[-1]
+        ops.pop()
+        lens.pop()
+    read = (np.concatenate(segs) if segs
+            else np.empty(0, np.uint8))
+    return (read, pos, np.array(ops, dtype=np.uint8),
+            np.array(lens, dtype=np.uint32), nm)
 
 
 def simulate(cfg: SimConfig, out_dir: str) -> dict:
@@ -94,13 +203,17 @@ def simulate(cfg: SimConfig, out_dir: str) -> dict:
     truths: List[Tuple[str, str]] = []
     drafts: List[Tuple[str, str]] = []
     genomes: List[np.ndarray] = []
-    draft_codes: List[np.ndarray] = []
+    dmaps: List[tuple] = []   # (dbase, t2d, ins_dpos, ev_t, ev_kind)
     per_contig = cfg.genome_size // cfg.num_contigs
     for c in range(cfg.num_contigs):
         g = rng.integers(0, 4, size=per_contig).astype(np.uint8)
-        d = _mutate(rng, g, cfg.draft_error_rate)
+        snp, ins, dele, dbase = _mutation_events(rng, g,
+                                                 cfg.draft_error_rate)
+        d, t2d, ins_dpos = _apply_events(g, snp, ins, dele, dbase, rng)
+        ev_t = np.flatnonzero(snp | ins | dele)
+        ev_kind = np.where(snp[ev_t], 0, np.where(ins[ev_t], 1, 2))
         genomes.append(g)
-        draft_codes.append(d)
+        dmaps.append((dbase, t2d, ins_dpos, ev_t, ev_kind))
         truths.append((f"ctg{c}", decode(g)))
         drafts.append((f"ctg{c}", decode(d)))
     write_fasta(os.path.join(out_dir, "truth.fa"), truths)
@@ -108,33 +221,63 @@ def simulate(cfg: SimConfig, out_dir: str) -> dict:
     refs = [(n, len(s)) for n, s in drafts]
 
     def make_reads(cov: int, rlen: int, err: float, prefix: str,
-                   pad: int, dropout=None
+                   dropout=None
                    ) -> Tuple[List[BamRecord], List[Tuple[str, str]]]:
         recs: List[BamRecord] = []
         fastas: List[Tuple[str, str]] = []
         for c, g in enumerate(genomes):
+            dbase, t2d, ins_dpos, ev_t, ev_kind = dmaps[c]
             n_reads = (len(g) * cov) // rlen
+            starts = rng.integers(0, max(1, len(g) - rlen),
+                                  size=n_reads)
+            if dropout is not None:
+                ds = int(dropout[0] * len(g))
+                de = int(dropout[1] * len(g))
+                for _ in range(50):
+                    bad = (starts + rlen > ds) & (starts < de)
+                    if not bad.any():
+                        break
+                    starts[bad] = rng.integers(
+                        0, max(1, len(g) - rlen), size=int(bad.sum()))
+            revs = rng.integers(0, 2, size=n_reads).astype(bool)
+            # per-read error events, drawn in one global batch
+            counts = rng.binomial(rlen, err, size=n_reads)
+            qoff = np.concatenate(
+                [[0], np.cumsum(counts)]).astype(np.int64)
+            total_q = int(qoff[-1])
+            q_rel = rng.integers(0, rlen, size=total_q)
+            q_kind = rng.integers(0, 3, size=total_q)
+            q_t = np.repeat(starts, counts) + q_rel
+            q_base = np.where(
+                q_kind == 0,
+                (g[q_t].astype(np.int64)
+                 + rng.integers(1, 4, size=total_q)) % 4,
+                rng.integers(0, 4, size=total_q)).astype(np.uint8)
+            d_lo = np.searchsorted(ev_t, starts)
+            d_hi = np.searchsorted(ev_t, starts + rlen)
             for i in range(n_reads):
-                read, gstart, rev = _sample_read(rng, g, rlen, err,
-                                                 dropout)
-                if len(read) == 0:
+                s = int(starts[i])
+                read, pos, ops, lens, nm = _compose_read(
+                    s, s + rlen, g, dbase, t2d, ins_dpos,
+                    ev_t[d_lo[i]:d_hi[i]], ev_kind[d_lo[i]:d_hi[i]],
+                    q_t[qoff[i]:qoff[i + 1]],
+                    q_kind[qoff[i]:qoff[i + 1]],
+                    q_base[qoff[i]:qoff[i + 1]])
+                if len(read) == 0 or len(ops) == 0:
                     continue
                 name = f"{prefix}{c}_{i}"
+                rev = bool(revs[i])
                 fastas.append((name,
                                decode(revcomp(read) if rev else read)))
                 # BAM stores the draft-forward orientation
-                pos, ops, lens, nm = _align_read(read, draft_codes[c],
-                                                 gstart, pad)
                 flag = FREVERSE if rev else 0
                 recs.append(BamRecord(name, flag, c, pos, 60, ops, lens,
                                       read, nm))
         recs.sort(key=lambda r: (r.tid, r.pos))
         return recs, fastas
 
-    sr_pad = max(30, int(cfg.short_len * 0.2))
     sr_recs, sr_fastas = make_reads(cfg.short_cov, cfg.short_len,
-                                    cfg.short_err, "sr", sr_pad,
-                                    cfg.dropout)
+                                    cfg.short_err, "sr", cfg.dropout)
     with gzip.open(os.path.join(out_dir, "reads.fq.gz"), "wt") as fh:
         for name, seq in sr_fastas:
             fh.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
@@ -150,9 +293,8 @@ def simulate(cfg: SimConfig, out_dir: str) -> dict:
         "short_cov": cfg.short_cov,
     }
     if cfg.long_cov > 0:
-        lr_pad = max(60, int(cfg.long_len * 0.25))
         lr_recs, _ = make_reads(cfg.long_cov, cfg.long_len, cfg.long_err,
-                                "lr", lr_pad)
+                                "lr")
         _write_bam(os.path.join(out_dir, "lr.bam"), refs, lr_recs)
         out["lr_bam"] = os.path.join(out_dir, "lr.bam")
     return out
