@@ -1,0 +1,34 @@
+import time
+import numpy as np
+from hypo_tpu.poa.device_full import build_chunk_programs
+
+rng = np.random.default_rng(0)
+L, N, Kc, B = 126, 256, 32, 2048
+init, chunk, finish = build_chunk_programs(
+    N=N, L=L, Kc=Kc, P=8, m=5, n=-4, g=-8, B=B, dp_impl="pallas", ndev=1)
+
+def mk():
+    arms = np.zeros((B, Kc, L), np.int8)
+    arms[:, :, :100] = rng.integers(0, 4, (B, Kc, 100))
+    return arms, np.full((B, Kc), 100, np.int32), np.zeros((B, Kc), np.int8)
+
+th = np.zeros(B, np.int32)
+# warm up compile
+st = init(); st = chunk(st, *mk()); finish(st, th).block_until_ready()
+
+for trial in range(2):
+    t0 = time.time()
+    handles = []
+    for tile in range(11):
+        st = init()
+        st = chunk(st, *mk())
+        st = chunk(st, *mk())
+        handles.append(finish(st, th))
+    tdisp = time.time() - t0
+    handles[-1].block_until_ready()
+    tblock = time.time() - t0 - tdisp
+    t0 = time.time()
+    outs = [np.asarray(h) for h in handles]
+    tcoll = time.time() - t0
+    print(f"trial{trial}: dispatch {tdisp:.2f}s block {tblock:.2f}s "
+          f"collect {tcoll:.2f}s", flush=True)

@@ -159,12 +159,15 @@ class ColPoa:
         return matched, j
 
     # -- merge ------------------------------------------------------------
-    def add(self, arm: List[int], mode: int) -> None:
+    def add(self, arm: List[int], mode: int, w: int = 1) -> None:
         """Align and merge one sequence (the oracle's add_alignment with
-        the column formulation)."""
+        the column formulation).  ``w`` merges the arm with multiplicity
+        w in one step — equivalent to w sequential adds of an identical
+        arm, since the DP never depends on weights and an identical copy
+        re-aligns onto its own path (device_full._merge)."""
         L = len(arm)
         if L == 0:
-            self.n_seqs += 1
+            self.n_seqs += w
             return
         if not self.node_code:
             matched: List[int] = [-1] * L
@@ -190,16 +193,16 @@ class ColPoa:
                 key = last_pos * Lpad + (j - last_j)
                 new_col_keys.append((c, key))
                 nid = self._new_node(base, c)
-            self.node_sup[nid] += 1
+            self.node_sup[nid] += w
             node_j.append(nid)
         # edges
         for j in range(1, L):
             u, v = node_j[j - 1], node_j[j]
             if u in self.pred_nd[v]:
-                self.pred_w[v][self.pred_nd[v].index(u)] += 1
+                self.pred_w[v][self.pred_nd[v].index(u)] += w
             else:
                 self.pred_nd[v].append(u)
-                self.pred_w[v].append(1)
+                self.pred_w[v].append(w)
                 self.out_cnt[u] += 1
         # renumber columns
         keys = {c: self.col_pos[c] * Lpad for c in range(len(self.col_pos))
@@ -208,7 +211,7 @@ class ColPoa:
             keys[c] = k
         for pos, c in enumerate(sorted(keys, key=lambda c: keys[c])):
             self.col_pos[c] = pos
-        self.n_seqs += 1
+        self.n_seqs += w
 
     # -- consensus (spoa heaviest bundle, graph.cpp:610-705) --------------
     def consensus(self) -> Tuple[List[int], List[int]]:

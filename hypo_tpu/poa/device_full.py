@@ -203,16 +203,26 @@ def _idx_set(old, idx, mask, vals, M: int):
     return jnp.where(cov, val.astype(old.dtype), old)
 
 
-def _idx_add(old, idx, mask, M: int):
-    """old[i] += #{l : idx[l] == i & mask[l]}."""
-    add = jnp.sum(_eq(idx, mask, M), axis=0)
+def _idx_add(old, idx, mask, M: int, vals=None):
+    """old[i] += sum of vals[l] (default 1) over {l : idx[l] == i &
+    mask[l]}."""
+    eq = _eq(idx, mask, M)
+    if vals is None:
+        add = jnp.sum(eq, axis=0)
+    else:
+        add = jnp.sum(jnp.where(eq, vals[:, None], 0), axis=0)
     return old + add.astype(old.dtype)
 
 
-def _merge(st: PoaState, order, matched, arm, arm_len, *, N, L, P):
+def _merge(st: PoaState, order, matched, arm, arm_len, w, *, N, L, P):
     """Vectorized graph merge of one aligned arm (colpoa_ref.ColPoa.add).
     ``order`` is the topological permutation from _rank_arrays (passed in
-    so the argsort is computed once per arm step).  Returns (new state,
+    so the argsort is computed once per arm step).  ``w`` is the arm's
+    multiplicity weight: merging one arm with weight w is equivalent to
+    merging w identical copies (the DP depends only on graph structure,
+    never on weights, and an identical copy re-aligns onto its own
+    path), which lets the runner deduplicate the many identical arms
+    that high-accuracy short reads produce.  Returns (new state,
     overflowed bool)."""
     jj = jnp.arange(L, dtype=jnp.int32)
     valid_j = jj < arm_len
@@ -260,7 +270,8 @@ def _merge(st: PoaState, order, matched, arm, arm_len, *, N, L, P):
     # node updates (all target indices unique; see colpoa_ref docstring)
     node_code = _idx_set(st.node_code, node_j, creates_node, arm, N)
     node_col = _idx_set(st.node_col, node_j, creates_node, col_j, N)
-    node_sup = _idx_add(st.node_sup, node_j, valid_j, N)
+    wv = jnp.broadcast_to(w, (L,))
+    node_sup = _idx_add(st.node_sup, node_j, valid_j, N, vals=wv)
     col_node = _idx_set(
         st.col_node.reshape(-1), col_j * NCODES + arm, creates_node,
         node_j, N * NCODES).reshape(N, NCODES)
@@ -278,7 +289,7 @@ def _merge(st: PoaState, order, matched, arm, arm_len, *, N, L, P):
     slot_c = jnp.minimum(slot, P - 1)
     eflat = v * P + slot_c
     pred_w = _idx_add(st.pred_w.reshape(-1), eflat, edge_valid,
-                      N * P).reshape(N, P)
+                      N * P, vals=wv).reshape(N, P)
     newslot = edge_valid & ~has
     pred_nd = _idx_set(st.pred_nd.reshape(-1), eflat, newslot, u,
                        N * P).reshape(N, P)
@@ -294,8 +305,8 @@ def _merge(st: PoaState, order, matched, arm, arm_len, *, N, L, P):
     return new_st, ovf
 
 
-def _arm_step_batch(st: PoaState, arm, arm_len, mode, active, *, N, L,
-                    P, m, n, g, dp_impl):
+def _arm_step_batch(st: PoaState, arm, arm_len, mode, active, w=None, *,
+                    N, L, P, m, n, g, dp_impl):
     """One arm round for the WHOLE window batch: rank/traceback/merge are
     vmapped per window, but the DP — the dominant compute — runs as ONE
     batched kernel call, so the Pallas kernel (pallas_poa) can serve the
@@ -322,8 +333,10 @@ def _arm_step_batch(st: PoaState, arm, arm_len, mode, active, *, N, L,
             bp, pred_rows, arm_len, mode, max_row)
     # empty graph (first sequence): everything is an insertion
     matched = jnp.where((st.n_nodes == 0)[:, None], -1, matched)
+    if w is None:
+        w = jnp.ones_like(arm_len)
     new_st, ovf = jax.vmap(functools.partial(
-        _merge, N=N, L=L, P=P))(st, order, matched, arm, arm_len)
+        _merge, N=N, L=L, P=P))(st, order, matched, arm, arm_len, w)
     apply = active & (arm_len > 0) & ~st.ovf & ~ovf
 
     def _sel(a, b):
@@ -505,6 +518,103 @@ def poa_full_batch(arms, arm_len, arm_mode, n_arms, *, N: int, L: int,
     return _poa_full_batch_impl(
         arms, arm_len, arm_mode, n_arms, N=N, L=L, K=K, P=P,
         m=m, n=n, g=g, dp_impl=resolve_dp_impl(dp_impl))
+
+
+# -- chunked-K program set (the production runner's path) --------------------
+#
+# Compiling one program per (N, L, K) bucket shape made the pipeline pay
+# a fresh ~15-25 s executable build/load per shape per process (the axon
+# remote backend cannot amortize it, and the persistent jit cache does
+# not remove the load).  Instead the arm dimension is CHUNKED: one
+# compiled `chunk` program consumes Kc arms per call and carries the
+# PoaState on device between calls (donated buffers, so no copies and no
+# host round trips), and one `finish` program runs consensus + packing.
+# Three small programs therefore cover windows with ANY arm count, and
+# the batch dimension is sharded over all local devices with shard_map
+# (every op inside is per-window, so no collectives are needed).
+
+
+def _bcast_state(N: int, P: int, B: int) -> PoaState:
+    st0 = init_state(N, P)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), st0)
+
+
+@functools.lru_cache(maxsize=None)
+def build_chunk_programs(*, N: int, L: int, Kc: int, P: int, m: int,
+                         n: int, g: int, B: int, dp_impl: str,
+                         ndev: int):
+    """Returns (init, chunk, finish) jitted callables for batch tile B.
+
+    init() -> state; chunk(state, arms i8 [B,Kc,L], alen i32 [B,Kc],
+    amode i8 [B,Kc]) -> state (donates state); finish(state) -> packed
+    int32 [B, 2N+2] (codes | support | len | ovf).  Batch is sharded
+    over the first `ndev` local devices (B must divide by ndev)."""
+    from jax.sharding import Mesh, PartitionSpec
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    devs = jax.local_devices()[:ndev]
+    mesh = Mesh(np.array(devs), ("b",))
+    pspec = PartitionSpec("b")
+    state_specs = PoaState(*([pspec] * len(PoaState._fields)))
+    Bl = B // ndev
+
+    def init_local():
+        return _bcast_state(N, P, Bl)
+
+    def chunk_local(st, arms, alen, amode, aw):
+        def step(st, inp):
+            arm, al, md, w = inp
+            st = _arm_step_batch(
+                st, arm.astype(jnp.int32), al, md.astype(jnp.int32),
+                al > 0, w, N=N, L=L, P=P, m=m, n=n, g=g,
+                dp_impl=dp_impl)
+            return st, None
+        st, _ = jax.lax.scan(
+            step, st, (arms.transpose(1, 0, 2), alen.T, amode.T, aw.T))
+        return st
+
+    def finish_local(st, th):
+        """Consensus + on-device curation + nibble packing.  th [B] i32
+        is the per-window curate threshold (0 keeps every base, the
+        short-window case); filtering on device means the support array
+        never crosses the (slow) device->host link.  Output int8
+        [B, N//2 + 4]: nibble-packed codes | len lo | len hi | ovf | 0.
+        """
+        cc, cs, cl = jax.vmap(
+            functools.partial(_consensus, N=N, P=P))(st)
+        idx = jnp.arange(N, dtype=jnp.int32)[None, :]
+        keep = (idx < cl[:, None]) & (cs >= th[:, None])
+        dst = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+        clen = dst[:, -1] + 1
+        sel = jnp.where(keep, dst, N)  # parked slot N dropped below
+        onehot = sel[:, :, None] == idx[0][None, None, :]
+        curated = jnp.max(
+            jnp.where(onehot, cc[:, :, None], 0), axis=1
+        ).astype(jnp.int8)                                    # [B, N]
+        lo = curated[:, 0::2]
+        hi = curated[:, 1::2]
+        packed = (lo | (hi << 4)).astype(jnp.int8)            # [B, N//2]
+        meta = jnp.stack([
+            (clen & 0xFF).astype(jnp.int8),
+            ((clen >> 8) & 0xFF).astype(jnp.int8),
+            st.ovf.astype(jnp.int8),
+            jnp.zeros_like(clen, jnp.int8)], axis=1)
+        return jnp.concatenate([packed, meta], axis=1)
+
+    init = jax.jit(shard_map(init_local, mesh=mesh, in_specs=(),
+                             out_specs=state_specs, check_vma=False))
+    chunk = jax.jit(shard_map(
+        chunk_local, mesh=mesh,
+        in_specs=(state_specs, pspec, pspec, pspec, pspec),
+        out_specs=state_specs, check_vma=False), donate_argnums=(0,))
+    finish = jax.jit(shard_map(
+        finish_local, mesh=mesh, in_specs=(state_specs, pspec),
+        out_specs=pspec, check_vma=False), donate_argnums=(0,))
+    return init, chunk, finish
 
 
 @functools.partial(jax.jit,

@@ -1,18 +1,26 @@
 """Window consensus through the fully on-device POA kernel.
 
-One device dispatch per (bucket, score-set) handles every arm of every
-window in the bucket — DP, merge, topo maintenance and heaviest-bundle
-consensus all happen in the kernel (hypo_tpu.poa.device_full), so the
-host<->device traffic is one upload of packed arms and one download of
-consensus codes per bucket, instead of one round trip per arm round
-(the DeviceConsensusRunner's model, which is latency-bound on real
-links).
+Execution model: windows are classified into at most two fixed shape
+classes (short / long), sorted by arm count, and packed into fixed-size
+batch tiles.  Each tile's arms stream through the chunked device
+programs (hypo_tpu.poa.device_full.build_chunk_programs): the POA state
+lives on device between chunk calls (donated buffers), one `finish`
+dispatch emits curated, nibble-packed consensus + overflow flags, and
+ALL tiles' finish handles are collected only after every dispatch is
+enqueued AND the device has drained (block on the last handle before
+the first device->host read — a readback while executions are pending
+degrades the remote runtime into per-dispatch polling).
 
-Windows that overflow the bucket's fixed caps (graph nodes N, arm
-length L, arm count K, predecessors P) are re-run on the host engine
-(native C++ if available), which is exact; the device path's
-tie-breaking is the deterministic column-POA order documented in
-hypo_tpu.poa.colpoa_ref.
+This keeps the number of compiled programs at ~3 per shape class
+regardless of coverage depth (arm counts) — critical on backends where
+each distinct executable costs ~15-25 s to build/load per process.
+
+Windows that overflow the class caps (graph nodes N, arm length L) are
+re-run on the host engine (native C++ if available), which is exact;
+the device path's tie-breaking is the deterministic column-POA order
+documented in hypo_tpu.poa.colpoa_ref.  The reference's analog of this
+device engine is its production SIMD engine
+(external/spoa/src/simd_alignment_engine.cpp:46-142).
 """
 from __future__ import annotations
 
@@ -22,32 +30,59 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..config import ScoreParams
-from .batch import DeviceConsensusRunner, _cap_for, _Job
+from .batch import DeviceConsensusRunner, _Job
 from .engine import CURATE_THRESH
-from .jax_poa import GLOBAL_ALPHABET, encode_global
+from .jax_poa import GLOBAL_ALPHABET, GLOBAL_CODE
 
-L_CAPS = (64, 128, 256, 512, 1024)
-K_CAPS = (8, 16, 32, 64, 128)
-N_CAPS = (64, 128, 256, 512, 1024, 2048)
+# shape classes: (L arm-length cap, N node/column cap, Kc arms per chunk
+# dispatch, B batch tile).  Class 0 covers short-read windows (ideal
+# 100 bp, force-divide <~2x, reference WindowSettings globalDefs.hpp:
+# 119-156); class 1 covers long pseudo-windows (<=500 bp draft,
+# Contig.cpp:292-343) and oversized short windows.  L is chosen so the
+# Pallas lane dim L+2 rounds to one 128-lane tile (126 -> 128,
+# 510 -> 512).  B must divide by ndev * 8 (the Pallas tile width).
+CLASSES: Tuple[Tuple[int, int, int, int], ...] = (
+    (126, 256, 8, 2048),
+    (510, 1024, 4, 256),
+)
 P_FULL = 8
-# below this many windows, a bucket is merged into a larger one rather
-# than paying its own dispatch round trip
-MIN_GROUP = 64
-# split very large buckets to bound device memory per dispatch
-MAX_GROUP = 4096
+
+
+def _dedup(seqs) -> List[Tuple[str, int, int]]:
+    """Collapse identical (sequence, mode) arms into one weighted entry
+    at the first occurrence.  High-accuracy short reads make most arms
+    of a window identical, so this cuts device arm rounds ~5x; merging
+    one arm with weight w is exactly merging w copies (device_full.
+    _merge docstring)."""
+    out: Dict[Tuple[str, int], int] = {}
+    for s, md in seqs:
+        out[(s, md)] = out.get((s, md), 0) + 1
+    return [(s, md, w) for (s, md), w in out.items()]
+
+_CODE_LUT = np.zeros(256, np.int8)
+for _c, _v in GLOBAL_CODE.items():
+    _CODE_LUT[ord(_c)] = _v
+
+_ALPHA_LUT = np.frombuffer(
+    "".join(GLOBAL_ALPHABET).encode(), np.uint8).copy()
 
 
 def _decode(codes: np.ndarray) -> str:
-    return "".join(GLOBAL_ALPHABET[c] for c in codes)
+    return _ALPHA_LUT[codes].tobytes().decode()
 
 
 class FullDeviceRunner(DeviceConsensusRunner):
     """Drop-in alternative to DeviceConsensusRunner: same job model,
-    but consensus runs end-to-end on device."""
+    but consensus (incl. long-window curation) runs end-to-end on
+    device."""
 
     def __init__(self, sp: ScoreParams, fix_long_align_type: bool = False,
                  use_native: bool = None):
         super().__init__(sp, fix_long_align_type, use_native)
+        import jax
+        from .device_full import resolve_dp_impl
+        self.dp_impl = resolve_dp_impl("auto")
+        self.ndev = jax.local_device_count()
         self.stats.update({"full_dispatches": 0, "full_windows": 0,
                            "full_overflows": 0})
 
@@ -66,83 +101,117 @@ class FullDeviceRunner(DeviceConsensusRunner):
             nxt: List[_Job] = []
             groups: Dict[tuple, List[_Job]] = {}
             for job in active:
-                maxl = max(len(s) for s, _m in job.seqs)
-                lcap = _cap_for(maxl, L_CAPS)
-                kcap = _cap_for(len(job.seqs), K_CAPS)
-                ncap = _cap_for(max(2 * maxl, maxl + 32), N_CAPS)
-                if lcap is None or kcap is None or ncap is None:
+                job.ext = _dedup(job.seqs)
+                ci = self._class_for(job)
+                if ci is None:
                     spawned = self._host_finish(job)
                     if spawned is not None:
                         nxt.append(spawned)
                     continue
-                groups.setdefault((job.scores, ncap, lcap, kcap),
-                                  []).append(job)
-            # dispatch all buckets asynchronously, then collect — the
-            # device pipelines the compute while the host packs the next
-            # bucket, and each bucket costs one upload + one download
+                groups.setdefault((ci, job.scores), []).append(job)
             handles = []
-            for (scores, ncap, lcap, kcap), grp in \
-                    self._plan_buckets(groups):
-                for lo in range(0, len(grp), MAX_GROUP):
-                    part = grp[lo:lo + MAX_GROUP]
+            for (ci, scores), grp in sorted(groups.items(),
+                                            key=lambda kv: kv[0]):
+                B = CLASSES[ci][3]
+                grp.sort(key=lambda j: -len(j.ext))
+                for lo in range(0, len(grp), B):
+                    tile = grp[lo:lo + B]
                     handles.append(
-                        (part, self._dispatch_full(part, scores, ncap,
-                                                   lcap, kcap)))
-            for part, handle in handles:
-                nxt.extend(self._collect_full(part, handle))
+                        (tile, self._dispatch_tile(tile, ci, scores)))
+            if handles:
+                # drain the device before the first readback
+                handles[-1][1].block_until_ready()
+            for tile, handle in handles:
+                nxt.extend(self._collect_full(tile, handle))
             active = nxt
         return count
 
     @staticmethod
-    def _plan_buckets(groups: Dict[tuple, List[_Job]]):
-        """Keep large buckets as-is; pool every small bucket of the same
-        score set into one max-caps bucket — a dispatch round trip costs
-        far more than padded compute for a few dozen windows."""
-        misc: Dict[tuple, Tuple[list, List[_Job]]] = {}
-        for (scores, ncap, lcap, kcap), grp in groups.items():
-            if len(grp) >= MIN_GROUP:
-                yield (scores, ncap, lcap, kcap), grp
-                continue
-            caps, members = misc.setdefault(scores, ([0, 0, 0], []))
-            caps[0] = max(caps[0], ncap)
-            caps[1] = max(caps[1], lcap)
-            caps[2] = max(caps[2], kcap)
-            members.extend(grp)
-        for scores, (caps, members) in misc.items():
-            yield (scores, caps[0], caps[1], caps[2]), members
+    def _class_for(job: _Job) -> Optional[int]:
+        maxl = max(len(s) for s, _m, _w in job.ext)
+        need_n = max(2 * maxl, maxl + 32)
+        for ci, (L, N, _Kc, _B) in enumerate(CLASSES):
+            if maxl <= L and need_n <= N:
+                return ci
+        return None
 
-    def _dispatch_full(self, grp: List[_Job], scores, N: int, L: int,
-                       K: int):
-        """Pack a bucket and launch the kernel; returns the async device
-        handle (a single packed int32 array)."""
-        from .device_full import poa_full_batch_packed
-        B = len(grp)
-        Bp = 1 << max(0, (B - 1).bit_length())
-        arms = np.zeros((Bp, K, L), np.int32)
-        alen = np.zeros((Bp, K), np.int32)
-        amode = np.zeros((Bp, K), np.int32)
-        narms = np.zeros(Bp, np.int32)
-        for b, job in enumerate(grp):
-            narms[b] = len(job.seqs)
-            for k, (s, md) in enumerate(job.seqs):
-                codes = encode_global(s)
-                arms[b, k, :len(codes)] = codes
-                alen[b, k] = len(codes)
-                amode[b, k] = md
+    @staticmethod
+    def _curate_threshold(job: _Job) -> int:
+        if job.kind == "short":
+            return 0
+        return math.floor(job.window.num_internal * CURATE_THRESH)
+
+    def _dispatch_tile(self, grp: List[_Job], ci: int, scores):
+        """Stream one tile's arms through the chunked programs; returns
+        the async finish handle (a single packed int8 array)."""
+        from .device_full import build_chunk_programs
+        L, N, Kc, B = CLASSES[ci]
+        if self.dp_impl != "pallas":
+            # CPU/interpret backends: padded windows are real compute
+            # and compiles are local, so shrink the tile to fit
+            unit = self.ndev * 8
+            B = min(B, max(unit, -(-len(grp) // unit) * unit))
         m, n, g = scores
-        self.stats["full_dispatches"] += 1
-        self.stats["full_windows"] += B
-        return poa_full_batch_packed(
-            arms, alen, amode, narms, N=N, L=L, K=K, P=P_FULL,
-            m=m, n=n, g=g)
+        init, chunk, finish = build_chunk_programs(
+            N=N, L=L, Kc=Kc, P=P_FULL, m=m, n=n, g=g, B=B,
+            dp_impl=self.dp_impl, ndev=self.ndev)
+        st = init()
+        kmax = max(len(job.ext) for job in grp)
+        for c0 in range(0, kmax, Kc):
+            st = chunk(st, *self._pack_chunk(grp, c0, Kc, L, B))
+            self.stats["full_dispatches"] += 1
+        th = np.zeros(B, np.int32)
+        for b, job in enumerate(grp):
+            th[b] = self._curate_threshold(job)
+        self.stats["full_windows"] += len(grp)
+        return finish(st, th)
+
+    @staticmethod
+    def _pack_chunk(grp: List[_Job], c0: int, Kc: int, L: int, B: int):
+        """Vectorized host packing of deduped arms [c0, c0+Kc) of every
+        job into (arms i8 [B,Kc,L], alen i32 [B,Kc], amode i8 [B,Kc],
+        aw i32 [B,Kc])."""
+        strs: List[str] = []
+        flat_k: List[int] = []
+        amode = np.zeros((B, Kc), np.int8)
+        aw = np.zeros((B, Kc), np.int32)
+        for b, job in enumerate(grp):
+            hi = min(len(job.ext), c0 + Kc)
+            base = b * Kc - c0
+            for k in range(c0, hi):
+                s, md, w = job.ext[k]
+                strs.append(s)
+                flat_k.append(base + k)
+                amode[b, k - c0] = md
+                aw[b, k - c0] = w
+        arms = np.zeros((B, Kc, L), np.int8)
+        alen = np.zeros((B, Kc), np.int32)
+        if strs:
+            lens = np.fromiter((len(s) for s in strs), np.int64,
+                               len(strs))
+            codes = _CODE_LUT[np.frombuffer(
+                "".join(strs).encode(), np.uint8)]
+            slot = np.asarray(flat_k, np.int64)
+            alen.reshape(-1)[slot] = lens
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            within = np.arange(len(codes)) - np.repeat(starts, lens)
+            dst = np.repeat(slot * L, lens) + within
+            arms.reshape(-1)[dst] = codes
+        return arms, alen, amode, aw
 
     def _collect_full(self, grp: List[_Job], handle) -> List[_Job]:
         packed = np.asarray(handle)           # one transfer
-        N = (packed.shape[1] - 2) // 2
-        cc = packed[:, :N]
-        cs = packed[:, N:2 * N]
-        cl = packed[:, 2 * N]
-        ovf = packed[:, 2 * N + 1] != 0
+        half = packed.shape[1] - 4
+        nib = packed[:, :half].view(np.uint8)
+        lo = nib & 0xF
+        hi = nib >> 4
+        codes = np.empty((packed.shape[0], 2 * half), np.uint8)
+        codes[:, 0::2] = lo
+        codes[:, 1::2] = hi
+        clen = (packed[:, half].view(np.uint8).astype(np.int32)
+                | (packed[:, half + 1].view(np.uint8).astype(np.int32)
+                   << 8))
+        ovf = packed[:, half + 2] != 0
         out: List[_Job] = []
         for b, job in enumerate(grp):
             if ovf[b]:
@@ -151,23 +220,20 @@ class FullDeviceRunner(DeviceConsensusRunner):
                 if spawned is not None:
                     out.append(spawned)
                 continue
-            codes = cc[b, :cl[b]]
-            sup = cs[b, :cl[b]]
-            spawned = self._finalize_full(job, codes, sup)
+            spawned = self._finalize_full(job, codes[b, :clen[b]])
             if spawned is not None:
                 out.append(spawned)
         return out
 
-    def _finalize_full(self, job: _Job, codes: np.ndarray,
-                       sup: np.ndarray) -> Optional[_Job]:
+    def _finalize_full(self, job: _Job,
+                       codes: np.ndarray) -> Optional[_Job]:
+        """codes are already curated on device (short: th=0 keeps all)."""
         w = job.window
         cons = _decode(codes)
         if job.kind == "short":
             w.consensus = cons[1:-1]   # strip J/O markers
             return None
-        th = math.floor(w.num_internal * CURATE_THRESH)
-        curated = "".join(c for c, d in zip(cons, sup) if d >= th)
-        w.consensus = curated
+        w.consensus = cons
         if job.kind == "long1":
-            return self._build_long_job(w, backbone=curated, kind="long2")
+            return self._build_long_job(w, backbone=cons, kind="long2")
         return None

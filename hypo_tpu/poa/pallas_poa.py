@@ -48,13 +48,16 @@ def _build_kernel(N: int, L: int, P: int, TW: int, g: int):
     assert N < 2048  # row index must fit the argmax encoding
     LP = _round_up(L + 2, 128)  # lane LP-1 carries the elig flag
 
-    def kernel(pred_ref, prof_ref, rov_ref, atsel_ref, bp_ref, best_ref,
-               H, Hp, bestv):
+    def kernel(pred_ref, prof_ref, rov_ref, atsel_ref, bp_ref,
+               best_ref, H, Hp, bestv):
         jj = jax.lax.broadcasted_iota(jnp.int32, (TW, LP), 1)
         jjg = jj * g
         H[:, 0, :] = jnp.where(jj <= L, jjg, NEG)
         H[:, N + 1, :] = jnp.full((TW, LP), NEG, jnp.int32)
         rov = jnp.stack([rov_ref[w, 0] for w in range(TW)])  # [TW]
+        nmax = rov_ref[0, 1]          # block-max graph size (col 1)
+        for w in range(1, TW):
+            nmax = jnp.maximum(nmax, rov_ref[w, 1])
         atsel = atsel_ref[:, :]  # [TW, LP] 1 only at lane arm_len[w]
         bestv[:, :] = jnp.full((TW, LP), -(2 ** 30), jnp.int32)
 
@@ -118,7 +121,12 @@ def _build_kernel(N: int, L: int, P: int, TW: int, g: int):
             bestv[:, :] = jnp.maximum(bestv[:, :], enc)
             return carry
 
-        jax.lax.fori_loop(0, N, row_step, 0)
+        # rows beyond the block's largest graph would compute garbage no
+        # window reads (invalid rows are ineligible for the argmax and
+        # unreachable through pred gathers) — skip them: graphs are
+        # typically far smaller than the class cap N, and in early arm
+        # rounds they are tiny
+        jax.lax.fori_loop(0, nmax, row_step, 0)
         best_ref[:, :] = bestv[:, :]
 
     return kernel, LP
@@ -159,7 +167,11 @@ def _build_run(N: int, L: int, P: int, m: int, n: int, g: int, TW: int,
         elig = jnp.where((mode == LOV)[:, None], valid,
                          valid & is_end).astype(jnp.int32)    # [B, N]
         prof = prof.at[:, :, LP - 1].set(elig)
-        rov = (mode == ROV).astype(jnp.int32)[:, None]        # [B, 1]
+        # col 0: ROV flag; col 1: the window's graph size (the kernel
+        # row loop runs only to the block max — graphs are typically
+        # far smaller than the class cap N)
+        rov = jnp.stack([(mode == ROV).astype(jnp.int32),
+                         n_nodes.astype(jnp.int32)], axis=1)  # [B, 2]
         atsel = (jnp.arange(LP)[None, :]
                  == arm_len[:, None]).astype(jnp.int32)       # [B, LP]
 
@@ -172,7 +184,7 @@ def _build_run(N: int, L: int, P: int, m: int, n: int, g: int, TW: int,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((TW, N, LP), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((TW, 1), lambda i: (i, 0),
+                pl.BlockSpec((TW, 2), lambda i: (i, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((TW, LP), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),

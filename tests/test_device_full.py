@@ -175,3 +175,50 @@ def test_full_runner_end_to_end_quality(tmp_path):
     before = compare(paths["truth"], paths["draft"])
     after = compare(paths["truth"], flags.output_filename)
     assert after["edit_distance"] < 0.25 * before["edit_distance"]
+
+
+def test_weighted_add_equals_sequential_duplicates():
+    """spec.add(arm, mode, w=k) must be bit-identical to k sequential
+    adds of the same arm (the dedup optimization's contract)."""
+    rng = np.random.default_rng(11)
+    for _ in range(10):
+        truth = [int(x) for x in rng.integers(0, 4, size=40)]
+        variants = []
+        for _ in range(4):
+            s = [4] + _mutate(rng, truth, 0.08) + [5]
+            variants.append(s)
+        plan = [(variants[int(rng.integers(4))],
+                 int(rng.integers(1, 4))) for _ in range(5)]
+        a = ColPoa(5, -4, -8)
+        b = ColPoa(5, -4, -8)
+        for s, w in plan:
+            a.add(s, NW, w=w)
+            for _ in range(w):
+                b.add(s, NW)
+        assert a.consensus() == b.consensus()
+        assert a.node_sup == b.node_sup
+        assert a.pred_w == b.pred_w
+
+
+def test_runner_dedup_matches_weighted_spec():
+    """FullDeviceRunner's packed+deduped device path must match the
+    weighted spec on the same dedup plan."""
+    from hypo_tpu.poa.full_runner import _dedup
+    rng = np.random.default_rng(13)
+    truth = [int(x) for x in rng.integers(0, 4, size=30)]
+    seqs = []
+    for _ in range(12):
+        s = [4] + _mutate(rng, truth, 0.05) + [5]
+        seqs.append(("".join(GLOBAL_ALPHABET[c] for c in s), NW))
+    dd = _dedup(seqs)
+    assert sum(w for _s, _m, w in dd) == len(seqs)
+    assert len(dd) < len(seqs)  # err 0.05 on len 30 -> duplicates exist
+    # weighted spec == sequential spec
+    a = ColPoa(5, -4, -8)
+    for s, md, w in dd:
+        a.add([GLOBAL_CODE[c] for c in s], md, w=w)
+    b = ColPoa(5, -4, -8)
+    for s, md, w in dd:   # device order = dedup order
+        for _ in range(w):
+            b.add([GLOBAL_CODE[c] for c in s], md)
+    assert a.consensus() == b.consensus()
