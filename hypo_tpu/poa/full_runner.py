@@ -1,26 +1,32 @@
 """Window consensus through the fully on-device POA kernel.
 
-Execution model: windows are classified into at most two fixed shape
-classes (short / long), sorted by arm count, and packed into fixed-size
-batch tiles.  Each tile's arms stream through the chunked device
-programs (hypo_tpu.poa.device_full.build_chunk_programs): the POA state
-lives on device between chunk calls (donated buffers), one `finish`
-dispatch emits curated, nibble-packed consensus + overflow flags, and
-ALL tiles' finish handles are collected only after every dispatch is
-enqueued AND the device has drained (block on the last handle before
-the first device->host read — a readback while executions are pending
-degrades the remote runtime into per-dispatch polling).
+Execution model:
 
-This keeps the number of compiled programs at ~3 per shape class
-regardless of coverage depth (arm counts) — critical on backends where
-each distinct executable costs ~15-25 s to build/load per process.
+1. TRIVIAL windows exit immediately on the host: after deduplication,
+   a window whose arms are ALL identical (the majority at short-read
+   coverage — the median window deduplicates to ONE distinct arm) has
+   that arm as its exact consensus (a single-sequence POA graph is a
+   chain; the heaviest bundle is the whole chain, and every base's
+   support is the total arm count, which is always >= the curate
+   threshold).  No POA runs at all.
+2. Remaining windows are classified into at most two fixed shape
+   classes (short / long), sorted by (distinct-arm count, arm length),
+   and packed into fixed-size batch tiles.  Each tile is ONE device
+   dispatch (hypo_tpu.poa.device_full.build_tile_program): the arm
+   dimension is a device-side loop bounded by the tile's real arm
+   count, and arms live in a per-tile deduplicated POOL (identical
+   arms recur across windows) uploaded once.
+3. ALL tiles are dispatched before the FIRST readback: on remote/
+   tunneled TPU runtimes the first device->host read drops the stream
+   into synchronous per-dispatch mode, so the dispatch and readback
+   phases must not interleave.
 
-Windows that overflow the class caps (graph nodes N, arm length L) are
-re-run on the host engine (native C++ if available), which is exact;
-the device path's tie-breaking is the deterministic column-POA order
-documented in hypo_tpu.poa.colpoa_ref.  The reference's analog of this
-device engine is its production SIMD engine
-(external/spoa/src/simd_alignment_engine.cpp:46-142).
+Windows that overflow the class caps (graph nodes N, arm length L,
+K distinct arms) are re-run on the host engine (native C++ if
+available), which is exact; the device path's tie-breaking is the
+deterministic column-POA order documented in hypo_tpu.poa.colpoa_ref.
+The reference's analog of this device engine is its production SIMD
+engine (external/spoa/src/simd_alignment_engine.cpp:46-142).
 """
 from __future__ import annotations
 
@@ -32,18 +38,17 @@ import numpy as np
 from ..config import ScoreParams
 from .batch import DeviceConsensusRunner, _Job
 from .engine import CURATE_THRESH
-from .jax_poa import GLOBAL_ALPHABET, GLOBAL_CODE
+from .jax_poa import GLOBAL_ALPHABET, GLOBAL_CODE, NW
 
-# shape classes: (L arm-length cap, N node/column cap, Kc arms per chunk
-# dispatch, B batch tile).  Class 0 covers short-read windows (ideal
-# 100 bp, force-divide <~2x, reference WindowSettings globalDefs.hpp:
-# 119-156); class 1 covers long pseudo-windows (<=500 bp draft,
-# Contig.cpp:292-343) and oversized short windows.  L is chosen so the
-# Pallas lane dim L+2 rounds to one 128-lane tile (126 -> 128,
-# 510 -> 512).  B must divide by ndev * 8 (the Pallas tile width).
-CLASSES: Tuple[Tuple[int, int, int, int], ...] = (
-    (126, 256, 8, 2048),
-    (510, 1024, 4, 256),
+# shape classes: (L arm-length cap, N node/column cap, K distinct-arm
+# cap, B batch tile, A arm-pool cap).  Class 0 covers short-read
+# windows (ideal 100 bp, force-divide <~2x, reference WindowSettings
+# globalDefs.hpp:119-156); class 1 covers long pseudo-windows (<=500 bp
+# draft, Contig.cpp:292-343) and oversized short windows.  L is chosen
+# so the Pallas lane dim L+2 rounds to one 128-lane tile.
+CLASSES: Tuple[Tuple[int, int, int, int, int], ...] = (
+    (126, 256, 16, 2048, 4096),
+    (510, 1024, 16, 256, 512),
 )
 P_FULL = 8
 
@@ -51,9 +56,8 @@ P_FULL = 8
 def _dedup(seqs) -> List[Tuple[str, int, int]]:
     """Collapse identical (sequence, mode) arms into one weighted entry
     at the first occurrence.  High-accuracy short reads make most arms
-    of a window identical, so this cuts device arm rounds ~5x; merging
-    one arm with weight w is exactly merging w copies (device_full.
-    _merge docstring)."""
+    of a window identical; merging one arm with weight w is exactly
+    merging w copies (device_full._merge docstring)."""
     out: Dict[Tuple[str, int], int] = {}
     for s, md in seqs:
         out[(s, md)] = out.get((s, md), 0) + 1
@@ -84,8 +88,84 @@ class FullDeviceRunner(DeviceConsensusRunner):
         self.dp_impl = resolve_dp_impl("auto")
         self.ndev = jax.local_device_count()
         self.stats.update({"full_dispatches": 0, "full_windows": 0,
-                           "full_overflows": 0})
+                           "full_overflows": 0, "trivial_windows": 0})
 
+    # -- program warm-up ----------------------------------------------------
+    def warm(self, classes=(0,), wait: bool = False):
+        """Compile/load the tile program(s) in a background thread so
+        the (10-30 s cold / ~5 s cached) executable build overlaps the
+        pipeline's host-side stages.  Returns the thread."""
+        import threading
+
+        def _build():
+            for ci in classes:
+                try:
+                    self._program(ci, self.short_scores)
+                except Exception:
+                    pass
+
+        t = threading.Thread(target=_build, daemon=True)
+        t.start()
+        if wait:
+            t.join()
+        return t
+
+    def _program(self, ci: int, scores):
+        from .device_full import build_tile_program
+        L, N, K, B, A = self._class_shape(ci)
+        m, n, g = scores
+        return build_tile_program(
+            N=N, L=L, K=K, P=P_FULL, m=m, n=n, g=g, B=B, A=A,
+            dp_impl=self.dp_impl, ndev=self.ndev)
+
+    def _class_shape(self, ci: int):
+        L, N, K, B, A = CLASSES[ci]
+        if self.dp_impl != "pallas":
+            # CPU/interpret backends: padded windows are real compute
+            # and compiles are local, so shrink the tile
+            B = max(8 * self.ndev, 64)
+            A = 2 * B * K
+        return L, N, K, B, A
+
+    # -- job classification --------------------------------------------------
+    @staticmethod
+    def _trivial(job: _Job) -> bool:
+        """One distinct (arm, NW) => consensus is that arm, exactly
+        (single-sequence chain graph; support = total weight >= any
+        curate threshold)."""
+        return len(job.ext) == 1 and job.ext[0][1] == NW
+
+    def _finish_trivial(self, job: _Job) -> Optional[_Job]:
+        s = job.ext[0][0]
+        w = job.window
+        if job.kind == "short":
+            w.consensus = s[1:-1]   # strip J/O markers (th = 0)
+            return None
+        # long windows curate at floor(0.4 * num_internal); every base's
+        # support is the total arm weight, so it is all-or-nothing
+        curated = s if job.ext[0][2] >= self._curate_threshold(job) else ""
+        w.consensus = curated
+        if job.kind == "long1":
+            return self._build_long_job(w, backbone=curated, kind="long2")
+        return None
+
+    def _class_for(self, job: _Job) -> Optional[int]:
+        if len(job.ext) > CLASSES[-1][2]:
+            return None
+        maxl = max(len(s) for s, _m, _w in job.ext)
+        need_n = max(2 * maxl, maxl + 32)
+        for ci, (L, N, K, _B, _A) in enumerate(CLASSES):
+            if maxl <= L and need_n <= N and len(job.ext) <= K:
+                return ci
+        return None
+
+    @staticmethod
+    def _curate_threshold(job: _Job) -> int:
+        if job.kind == "short":
+            return 0
+        return math.floor(job.window.num_internal * CURATE_THRESH)
+
+    # -- main loop ------------------------------------------------------------
     def run_windows(self, windows) -> int:
         jobs: List[_Job] = []
         count = 0
@@ -102,6 +182,12 @@ class FullDeviceRunner(DeviceConsensusRunner):
             groups: Dict[tuple, List[_Job]] = {}
             for job in active:
                 job.ext = _dedup(job.seqs)
+                if self._trivial(job):
+                    self.stats["trivial_windows"] += 1
+                    spawned = self._finish_trivial(job)
+                    if spawned is not None:
+                        nxt.append(spawned)
+                    continue
                 ci = self._class_for(job)
                 if ci is None:
                     spawned = self._host_finish(job)
@@ -112,94 +198,98 @@ class FullDeviceRunner(DeviceConsensusRunner):
             handles = []
             for (ci, scores), grp in sorted(groups.items(),
                                             key=lambda kv: kv[0]):
-                B = CLASSES[ci][3]
-                grp.sort(key=lambda j: -len(j.ext))
-                for lo in range(0, len(grp), B):
-                    tile = grp[lo:lo + B]
+                B = self._class_shape(ci)[3]
+                grp.sort(key=lambda j: (-len(j.ext),
+                                        -max(len(s) for s, _m, _w
+                                             in j.ext)))
+                lo = 0
+                while lo < len(grp):
+                    tile, hi = self._take_tile(grp, lo, ci)
                     handles.append(
                         (tile, self._dispatch_tile(tile, ci, scores)))
+                    lo = hi
+            # drain the device before the first readback, then read
+            # every tile (no dispatches in between)
             if handles:
-                # drain the device before the first readback
-                handles[-1][1].block_until_ready()
+                import jax
+                jax.block_until_ready(handles[-1][1])
             for tile, handle in handles:
                 nxt.extend(self._collect_full(tile, handle))
             active = nxt
         return count
 
-    @staticmethod
-    def _class_for(job: _Job) -> Optional[int]:
-        maxl = max(len(s) for s, _m, _w in job.ext)
-        need_n = max(2 * maxl, maxl + 32)
-        for ci, (L, N, _Kc, _B) in enumerate(CLASSES):
-            if maxl <= L and need_n <= N:
-                return ci
-        return None
-
-    @staticmethod
-    def _curate_threshold(job: _Job) -> int:
-        if job.kind == "short":
-            return 0
-        return math.floor(job.window.num_internal * CURATE_THRESH)
+    def _take_tile(self, grp: List[_Job], lo: int, ci: int):
+        """Take as many jobs from grp[lo:] as fit one tile's window and
+        arm-pool capacities."""
+        L, N, K, B, A = self._class_shape(ci)
+        pool_used = 0
+        seen: Dict[str, int] = {}
+        hi = lo
+        while hi < len(grp) and hi - lo < B:
+            need = sum(1 for s, _m, _w in grp[hi].ext if s not in seen)
+            if pool_used + need > A:
+                break
+            for s, _m, _w in grp[hi].ext:
+                if s not in seen:
+                    seen[s] = pool_used
+                    pool_used += 1
+            hi += 1
+        return grp[lo:hi], hi
 
     def _dispatch_tile(self, grp: List[_Job], ci: int, scores):
-        """Stream one tile's arms through the chunked programs; returns
-        the async finish handle (a single packed int8 array)."""
-        from .device_full import build_chunk_programs
-        L, N, Kc, B = CLASSES[ci]
-        if self.dp_impl != "pallas":
-            # CPU/interpret backends: padded windows are real compute
-            # and compiles are local, so shrink the tile to fit
-            unit = self.ndev * 8
-            B = min(B, max(unit, -(-len(grp) // unit) * unit))
-        m, n, g = scores
-        init, chunk, finish = build_chunk_programs(
-            N=N, L=L, Kc=Kc, P=P_FULL, m=m, n=n, g=g, B=B,
-            dp_impl=self.dp_impl, ndev=self.ndev)
-        st = init()
-        kmax = max(len(job.ext) for job in grp)
-        for c0 in range(0, kmax, Kc):
-            st = chunk(st, *self._pack_chunk(grp, c0, Kc, L, B))
-            self.stats["full_dispatches"] += 1
-        th = np.zeros(B, np.int32)
-        for b, job in enumerate(grp):
-            th[b] = self._curate_threshold(job)
-        self.stats["full_windows"] += len(grp)
-        return finish(st, th)
-
-    @staticmethod
-    def _pack_chunk(grp: List[_Job], c0: int, Kc: int, L: int, B: int):
-        """Vectorized host packing of deduped arms [c0, c0+Kc) of every
-        job into (arms i8 [B,Kc,L], alen i32 [B,Kc], amode i8 [B,Kc],
-        aw i32 [B,Kc])."""
+        """Pack one tile (deduplicated arm pool + per-window index
+        table) and dispatch it; returns the async packed handle."""
+        L, N, K, B, A = self._class_shape(ci)
+        tile_fn = self._program(ci, scores)
+        pool_idx: Dict[str, int] = {}
         strs: List[str] = []
-        flat_k: List[int] = []
-        amode = np.zeros((B, Kc), np.int8)
-        aw = np.zeros((B, Kc), np.int32)
-        for b, job in enumerate(grp):
-            hi = min(len(job.ext), c0 + Kc)
-            base = b * Kc - c0
-            for k in range(c0, hi):
-                s, md, w = job.ext[k]
-                strs.append(s)
-                flat_k.append(base + k)
-                amode[b, k - c0] = md
-                aw[b, k - c0] = w
-        arms = np.zeros((B, Kc, L), np.int8)
-        alen = np.zeros((B, Kc), np.int32)
+        idxt = np.full((B, K), -1, np.int32)
+        amode = np.zeros((B, K), np.int8)
+        aw = np.zeros((B, K), np.int32)
+        narms = np.zeros(B, np.int32)
+        th = np.zeros(B, np.int32)
+        # stripe jobs across shard blocks so multi-device shards see a
+        # balanced arm-count mix (rows of one shard are contiguous)
+        rows = self._row_order(len(grp), B)
+        for j, job in enumerate(grp):
+            b = rows[j]
+            narms[b] = len(job.ext)
+            th[b] = self._curate_threshold(job)
+            for k, (s, md, w) in enumerate(job.ext):
+                r = pool_idx.get(s)
+                if r is None:
+                    r = pool_idx[s] = len(strs)
+                    strs.append(s)
+                idxt[b, k] = r
+                amode[b, k] = md
+                aw[b, k] = w
+        pool = np.zeros((A, L), np.int8)
+        plen = np.zeros(A, np.int32)
         if strs:
             lens = np.fromiter((len(s) for s in strs), np.int64,
                                len(strs))
             codes = _CODE_LUT[np.frombuffer(
                 "".join(strs).encode(), np.uint8)]
-            slot = np.asarray(flat_k, np.int64)
-            alen.reshape(-1)[slot] = lens
+            plen[:len(strs)] = lens
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
             within = np.arange(len(codes)) - np.repeat(starts, lens)
-            dst = np.repeat(slot * L, lens) + within
-            arms.reshape(-1)[dst] = codes
-        return arms, alen, amode, aw
+            dst = np.repeat(np.arange(len(strs)) * L, lens) + within
+            pool.reshape(-1)[dst] = codes
+        self.stats["full_dispatches"] += 1
+        self.stats["full_windows"] += len(grp)
+        handle = tile_fn(pool, plen, idxt, amode, aw, narms, th)
+        return (handle, rows)
+
+    def _row_order(self, n: int, B: int) -> np.ndarray:
+        nd = self.ndev
+        if nd <= 1:
+            return np.arange(n, dtype=np.int64)
+        blk = B // nd
+        i = np.arange(n, dtype=np.int64)
+        return (i % nd) * blk + (i // nd)
 
     def _collect_full(self, grp: List[_Job], handle) -> List[_Job]:
+        handle, rows = handle
         packed = np.asarray(handle)           # one transfer
         half = packed.shape[1] - 4
         nib = packed[:, :half].view(np.uint8)
@@ -213,7 +303,8 @@ class FullDeviceRunner(DeviceConsensusRunner):
                    << 8))
         ovf = packed[:, half + 2] != 0
         out: List[_Job] = []
-        for b, job in enumerate(grp):
+        for j, job in enumerate(grp):
+            b = rows[j]
             if ovf[b]:
                 self.stats["full_overflows"] += 1
                 spawned = self._host_finish(job)

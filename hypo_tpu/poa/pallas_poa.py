@@ -1,19 +1,21 @@
 """Pallas TPU kernel for the batched POA DP — tie-exact with
-hypo_tpu.poa.jax_poa.poa_dp_batch, ~3x faster on v5e (measured 1.15
-Tcells/s vs 0.39 for the XLA scan at the bench bucket).
+hypo_tpu.poa.jax_poa.poa_dp_batch.
 
 Why it beats the XLA formulation (jax_poa._dp_one):
 
 - H stays resident in VMEM for the whole row sweep ([TW, N+2, LP] i32
   per grid step); the XLA scan carries H through HBM and re-gathers
   predecessor rows from HBM every step.
+- The match/mismatch profile is computed IN the kernel from the arm
+  row and the node's code (one scalar SMEM read per (window, row)) —
+  no [B, N, LP] profile tensor ever exists in HBM.
 - The per-(window, pred) gather is a narrow VMEM copy at a scalar
-  index read from SMEM — no gather instruction at all.
-- Unused predecessor slots point at a permanently-NEG row (N+1), so
-  the kernel has no masking work per slot.
-- The match/mismatch profile is precomputed for ALL rows in one XLA
-  elementwise op ([B, N, LP]) and streamed per block, removing the
-  per-row dynamic-lane indexing Mosaic cannot lower.
+  index read from SMEM, and it only runs for the row's REAL
+  predecessor count (block max, from SMEM); unused slots are NEG-
+  filled with full-slab stores.  The common single-predecessor
+  "chain" row (pred == previous rank for every window in the block,
+  the overwhelmingly typical case for POA graphs of near-identical
+  arms) collapses to ONE whole-block VMEM slab copy.
 - The argmax over end rows runs inside the kernel as a running max of
   an encoded (masked score, N - r) integer — wide vector ops only, no
   per-row reductions, no H materialization to HBM at all.
@@ -44,34 +46,66 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _build_kernel(N: int, L: int, P: int, TW: int, g: int):
+def _build_kernel(N: int, L: int, P: int, TW: int, m: int, n: int,
+                  g: int):
     assert N < 2048  # row index must fit the argmax encoding
-    LP = _round_up(L + 2, 128)  # lane LP-1 carries the elig flag
+    LP = _round_up(L + 2, 128)  # lane LP-1 is never a real arm base
 
-    def kernel(pred_ref, prof_ref, rov_ref, atsel_ref, bp_ref,
-               best_ref, H, Hp, bestv):
+    def kernel(pred_ref, code_ref, cnt_ref, elig_ref, meta_ref,
+               armx_ref, atsel_ref, bp_ref, best_ref, H, Hp, bestv,
+               prof):
         jj = jax.lax.broadcasted_iota(jnp.int32, (TW, LP), 1)
         jjg = jj * g
         H[:, 0, :] = jnp.where(jj <= L, jjg, NEG)
         H[:, N + 1, :] = jnp.full((TW, LP), NEG, jnp.int32)
-        rov = jnp.stack([rov_ref[w, 0] for w in range(TW)])  # [TW]
-        nmax = rov_ref[0, 1]          # block-max graph size (col 1)
+        rov = jnp.stack([meta_ref[w, 0] for w in range(TW)])  # [TW]
+        nmax = meta_ref[0, 1]          # block-max graph size
         for w in range(1, TW):
-            nmax = jnp.maximum(nmax, rov_ref[w, 1])
+            nmax = jnp.maximum(nmax, meta_ref[w, 1])
         atsel = atsel_ref[:, :]  # [TW, LP] 1 only at lane arm_len[w]
         bestv[:, :] = jnp.full((TW, LP), -(2 ** 30), jnp.int32)
+        negrow = jnp.full((TW, LP), NEG, jnp.int32)
 
         def row_step(r, carry):
+            # match/mismatch profile for this row, in-kernel
             for w in range(TW):
-                for p in range(P):
-                    idx = pred_ref[w, r * P + p]
-                    Hp[p, w, :] = H[w, idx, :]
-            prof = prof_ref[:, r, :]
+                code = code_ref[w, r] + 8
+                prof[w, :] = jnp.where(armx_ref[w, :] == code,
+                                       jnp.int32(m), jnp.int32(n))
+            # predecessor row gathers, bounded by the block's real
+            # pred count; chain rows collapse to one slab copy
+            mp = cnt_ref[0, r]
+            chain = ((cnt_ref[0, r] == 1)
+                     & (pred_ref[0, r * P] == r))
+            for w in range(1, TW):
+                mp = jnp.maximum(mp, cnt_ref[w, r])
+                chain = chain & ((cnt_ref[w, r] == 1)
+                                 & (pred_ref[w, r * P] == r))
+
+            @pl.when(chain)
+            def gather_chain():
+                Hp[0, :, :] = H[:, r, :]
+
+            @pl.when(jnp.logical_not(chain))
+            def gather_slow():
+                def one_pred(p, _):
+                    for w in range(TW):
+                        idx = pred_ref[w, r * P + p]
+                        Hp[p, w, :] = H[w, idx, :]
+                    return 0
+                jax.lax.fori_loop(0, mp, one_pred, 0)
+
+            def neg_fill(p, _):
+                Hp[p, :, :] = negrow
+                return 0
+            jax.lax.fori_loop(jnp.where(chain, 1, mp), P, neg_fill, 0)
+
+            profv = prof[:, :]
             Hpm = Hp[:, :, :]
             shifted = pltpu.roll(Hpm, 1, 2)
             first3 = jax.lax.broadcasted_iota(
                 jnp.int32, (P, TW, LP), 2) == 0
-            diag = jnp.where(first3, NEG, shifted) + prof[None, :, :]
+            diag = jnp.where(first3, NEG, shifted) + profv[None, :, :]
             vert = Hpm + g
             dv = jnp.maximum(diag, vert)
             tmp = dv[0]
@@ -112,10 +146,10 @@ def _build_kernel(N: int, L: int, P: int, TW: int, g: int):
             # online first-argmax of masked H[r+1, arm_len], fully
             # vectorized: encode (masked score, N - r) in one int so a
             # plain running max reproduces jax_poa's argmax tie rule
-            # (first maximum wins).  elig flag rides in prof lane LP-1.
-            elig = prof[:, LP - 1][:, None]  # [TW, 1] 0/1
+            # (first maximum wins)
+            elig = jnp.stack([elig_ref[w, r] for w in range(TW)])
             masked = jnp.where(atsel == 1,
-                               jnp.where(elig == 1, row, NEG),
+                               jnp.where(elig[:, None] == 1, row, NEG),
                                -(2 ** 18))
             enc = masked * 2048 + (N - r)
             bestv[:, :] = jnp.maximum(bestv[:, :], enc)
@@ -135,7 +169,7 @@ def _build_kernel(N: int, L: int, P: int, TW: int, g: int):
 @functools.lru_cache(maxsize=None)
 def _build_run(N: int, L: int, P: int, m: int, n: int, g: int, TW: int,
                interpret: bool):
-    kernel, LP = _build_kernel(N, L, P, TW, g)
+    kernel, LP = _build_kernel(N, L, P, TW, m, n, g)
 
     @jax.jit
     def run(node_code, pred_rows, pred_cnt, is_end, n_nodes, arm,
@@ -155,23 +189,17 @@ def _build_run(N: int, L: int, P: int, m: int, n: int, g: int, TW: int,
         parange = jnp.arange(P, dtype=pred_cnt.dtype)
         pred = jnp.where(parange[None, None, :] < pred_cnt[:, :, None],
                          pred_rows, N + 1).astype(jnp.int32)
-        # profile for all rows: lane j is match(arm[j-1]) (lane 0 unused)
+        # lane j of armx is arm[j-1] + 8 (lane 0 and pad lanes -1, so
+        # they never match a node code)
         armx = jnp.pad(arm.astype(jnp.int32) + 8,
                        ((0, 0), (1, LP - 1 - arm.shape[1])),
                        constant_values=-1)
-        prof = jnp.where(armx[:, None, :]
-                         == (node_code.astype(jnp.int32) + 8)[:, :, None],
-                         jnp.int32(m), jnp.int32(n))
-        # elig flag (valid row & mode rule) rides in prof lane LP-1
+        # elig flag (valid row & mode rule), read per-row in the kernel
         valid = jnp.arange(N)[None, :] < n_nodes[:, None]
         elig = jnp.where((mode == LOV)[:, None], valid,
                          valid & is_end).astype(jnp.int32)    # [B, N]
-        prof = prof.at[:, :, LP - 1].set(elig)
-        # col 0: ROV flag; col 1: the window's graph size (the kernel
-        # row loop runs only to the block max — graphs are typically
-        # far smaller than the class cap N)
-        rov = jnp.stack([(mode == ROV).astype(jnp.int32),
-                         n_nodes.astype(jnp.int32)], axis=1)  # [B, 2]
+        meta = jnp.stack([(mode == ROV).astype(jnp.int32),
+                          n_nodes.astype(jnp.int32)], axis=1)  # [B, 2]
         atsel = (jnp.arange(LP)[None, :]
                  == arm_len[:, None]).astype(jnp.int32)       # [B, LP]
 
@@ -182,10 +210,16 @@ def _build_run(N: int, L: int, P: int, m: int, n: int, g: int, TW: int,
             in_specs=[
                 pl.BlockSpec((TW, N * P), lambda i: (i, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((TW, N, LP), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TW, N), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((TW, N), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((TW, N), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((TW, 2), lambda i: (i, 0),
                              memory_space=pltpu.SMEM),
+                pl.BlockSpec((TW, LP), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((TW, LP), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
@@ -203,9 +237,11 @@ def _build_run(N: int, L: int, P: int, m: int, n: int, g: int, TW: int,
                 pltpu.VMEM((TW, N + 2, LP), jnp.int32),
                 pltpu.VMEM((P, TW, LP), jnp.int32),
                 pltpu.VMEM((TW, LP), jnp.int32),
+                pltpu.VMEM((TW, LP), jnp.int32),
             ],
             interpret=interpret,
-        )(pred.reshape(B, N * P), prof, rov, atsel)
+        )(pred.reshape(B, N * P), node_code.astype(jnp.int32),
+          pred_cnt.astype(jnp.int32), elig, meta, armx, atsel)
         # decode (masked score, N - r) running max -> first-argmax row
         bestenc = jnp.max(best, axis=1)                       # [B]
         max_row = (N - jnp.mod(bestenc, 2048) + 1).astype(jnp.int32)
