@@ -38,8 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-q", "--qual-map-th", type=int, default=2)
     ap.add_argument("-n", "--ned-th", type=int, default=20)
     ap.add_argument("-i", "--intermed", action="store_true")
-    ap.add_argument("--device-poa", action="store_true",
-                    help="run window consensus on the JAX device path")
+    ap.add_argument("--device-poa", action="store_true", default=None,
+                    help="force window consensus onto the JAX device "
+                         "path (default: auto — device iff a TPU "
+                         "backend is present)")
+    ap.add_argument("--no-device-poa", dest="device_poa",
+                    action="store_false",
+                    help="force the host consensus engine")
     ap.add_argument("--device-poa-mode", default="full",
                     choices=["full", "exact"],
                     help="full: whole POA on device (one dispatch per "

@@ -102,8 +102,10 @@ class InputFlags:
     inspect: bool = False  # write aux/regions.bed + aux/inspect.txt
     window_settings: WindowSettings = dataclasses.field(
         default_factory=WindowSettings)
-    # device/bench knobs (no reference equivalent)
-    use_device_poa: bool = False
+    # device/bench knobs (no reference equivalent).
+    # use_device_poa: None = auto (device path iff a TPU backend is
+    # present), True/False = force.
+    use_device_poa: Optional[bool] = None
     # "full": entire POA on device, one dispatch per bucket (column-POA
     #         tie-breaking, hypo_tpu.poa.device_full)
     # "exact": per-arm-round device DP with host merges; bit-identical

@@ -157,12 +157,41 @@ class Polisher:
         return sk
 
     # -- main -------------------------------------------------------------
+    def _resolve_device_poa(self) -> None:
+        """use_device_poa=None means auto: run window consensus on the
+        device path when a TPU backend is present (the reference always
+        runs its fastest engine, simd_alignment_engine.cpp:46-142)."""
+        f = self.flags
+        if f.use_device_poa is None:
+            try:
+                import jax
+                f.use_device_poa = jax.default_backend() == "tpu"
+            except Exception:
+                f.use_device_poa = False
+
+    def _make_device_runner(self):
+        """Build the device consensus runner once and start compiling/
+        loading its tile program in the background so the executable
+        build overlaps the host-side stages (solid kmers, BAM load)."""
+        f = self.flags
+        if not f.use_device_poa:
+            return None
+        if f.device_poa_mode == "full":
+            from ..poa.full_runner import FullDeviceRunner
+            runner = FullDeviceRunner(f.score_params)
+            runner.warm(classes=(0,) if self.no_long_reads else (0, 1))
+            return runner
+        from ..poa.batch import DeviceConsensusRunner
+        return DeviceConsensusRunner(f.score_params)
+
     def polish(self) -> None:
         f = self.flags
         mon = self.monitor
         if f.coordinator:
             from ..parallel import distributed as dist
             dist.initialize(f.coordinator, f.num_processes, f.process_id)
+        self._resolve_device_poa()
+        self.device_runner = self._make_device_runner()
         mon.start()
         sk = self._get_solid_kmers()
         print(f"[hypo_tpu] solid (canonical, non-HP) kmers: "
@@ -328,21 +357,12 @@ class Polisher:
 
         mon.start()
         nwin = 0
-        if f.use_device_poa:
-            if f.device_poa_mode == "full":
-                from ..poa.full_runner import FullDeviceRunner
-                runner = FullDeviceRunner(f.score_params)
-            else:
-                from ..poa.batch import DeviceConsensusRunner
-                runner = DeviceConsensusRunner(f.score_params)
-            all_windows = [w for cid in range(lo, hi)
-                           for w in self.contigs[cid].windows
-                           if w is not None]
-            nwin += runner.run_windows(all_windows)
+        all_windows = [w for cid in range(lo, hi)
+                       for w in self.contigs[cid].windows
+                       if w is not None]
+        if self.device_runner is not None:
+            nwin += self.device_runner.run_windows(all_windows)
         else:
-            all_windows = [w for cid in range(lo, hi)
-                           for w in self.contigs[cid].windows
-                           if w is not None]
             nwin += engine.generate_consensus_batch(all_windows,
                                                     f.threads)
         mon.stop(f"[hypo_tpu] POA over {nwin} windows. ")

@@ -94,6 +94,10 @@ class ConsensusEngine:
             if w.num_empty > num_non_empty:
                 w.consensus = ""
             elif num_non_empty >= 2:
+                trivial = self._trivial_consensus(w)
+                if trivial is not None:
+                    w.consensus = trivial
+                    continue
                 arms = ([(a.tobytes(), INTERNAL_KIND)
                          for a in w.internal_arms]
                         + [(a.tobytes(), PREFIX_KIND) for a in w.pre_arms]
@@ -117,6 +121,41 @@ class ConsensusEngine:
                 else:
                     w.consensus = cons
         return len(windows)
+
+    def _trivial_consensus(self, w) -> Optional[str]:
+        """Exact shortcut: when every sequence the window would POA is
+        identical, the graph is a chain and the consensus is that
+        sequence — the dominant case at short-read coverage (the median
+        window's arms deduplicate to ONE distinct sequence).  For long
+        windows every base's agreeing-count equals the sequence count,
+        so curation keeps all bases (guarded below); round 2 re-POAs
+        the same identical set and returns the same string."""
+        if w.wtype == 0:
+            arms = [a for a in w.internal_arms if len(a)]
+            if not arms:
+                return None
+            if (any(len(a) for a in w.pre_arms)
+                    or any(len(a) for a in w.suf_arms)):
+                return None
+            first = arms[0].tobytes()
+            if all(a.tobytes() == first for a in arms[1:]):
+                return decode(arms[0])
+            return None
+        if not len(w.draft):
+            return None
+        first = w.draft.tobytes()
+        nseq = 1
+        for group in (w.internal_arms, w.pre_arms, w.suf_arms):
+            for a in group:
+                if len(a):
+                    if a.tobytes() != first:
+                        return None
+                    nseq += 1
+        if nseq < 2:
+            return None
+        if nseq < math.floor(w.num_internal * CURATE_THRESH):
+            return None  # curation would drop bases; run the full path
+        return decode(w.draft)
 
     def _native(self, window):
         from ..native import native_window_consensus

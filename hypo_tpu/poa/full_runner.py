@@ -167,6 +167,10 @@ class FullDeviceRunner(DeviceConsensusRunner):
 
     # -- main loop ------------------------------------------------------------
     def run_windows(self, windows) -> int:
+        import os
+        import time
+        debug = bool(os.environ.get("HYPO_POA_DEBUG"))
+        t0 = time.time()
         jobs: List[_Job] = []
         count = 0
         for w in windows:
@@ -176,8 +180,13 @@ class FullDeviceRunner(DeviceConsensusRunner):
             j = self._build_job(w)
             if j is not None:
                 jobs.append(j)
+        if debug:
+            print(f"[poa] build jobs: {time.time()-t0:.2f}s "
+                  f"({len(jobs)} jobs)", flush=True)
         active = jobs
+        wave = 0
         while active:
+            t0 = time.time()
             nxt: List[_Job] = []
             groups: Dict[tuple, List[_Job]] = {}
             for job in active:
@@ -195,10 +204,14 @@ class FullDeviceRunner(DeviceConsensusRunner):
                         nxt.append(spawned)
                     continue
                 groups.setdefault((ci, job.scores), []).append(job)
+            if debug:
+                ng = sum(len(g) for g in groups.values())
+                print(f"[poa] wave {wave}: classify {time.time()-t0:.2f}s"
+                      f" ({ng} device jobs)", flush=True)
+            t0 = time.time()
             handles = []
             for (ci, scores), grp in sorted(groups.items(),
                                             key=lambda kv: kv[0]):
-                B = self._class_shape(ci)[3]
                 grp.sort(key=lambda j: (-len(j.ext),
                                         -max(len(s) for s, _m, _w
                                              in j.ext)))
@@ -208,14 +221,28 @@ class FullDeviceRunner(DeviceConsensusRunner):
                     handles.append(
                         (tile, self._dispatch_tile(tile, ci, scores)))
                     lo = hi
+            if debug:
+                print(f"[poa] wave {wave}: pack+dispatch "
+                      f"{time.time()-t0:.2f}s ({len(handles)} tiles)",
+                      flush=True)
             # drain the device before the first readback, then read
             # every tile (no dispatches in between)
+            t0 = time.time()
             if handles:
                 import jax
                 jax.block_until_ready(handles[-1][1])
+            if debug:
+                print(f"[poa] wave {wave}: device drain "
+                      f"{time.time()-t0:.2f}s", flush=True)
+            t0 = time.time()
             for tile, handle in handles:
                 nxt.extend(self._collect_full(tile, handle))
+            if debug:
+                print(f"[poa] wave {wave}: readback+finalize "
+                      f"{time.time()-t0:.2f}s  stats={self.stats}",
+                      flush=True)
             active = nxt
+            wave += 1
         return count
 
     def _take_tile(self, grp: List[_Job], lo: int, ci: int):
