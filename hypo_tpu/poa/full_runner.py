@@ -81,14 +81,27 @@ class FullDeviceRunner(DeviceConsensusRunner):
     device."""
 
     def __init__(self, sp: ScoreParams, fix_long_align_type: bool = False,
-                 use_native: bool = None):
+                 use_native: bool = None, threads: int = 0):
         super().__init__(sp, fix_long_align_type, use_native)
+        import os
+
         import jax
         from .device_full import resolve_dp_impl
         self.dp_impl = resolve_dp_impl("auto")
         self.ndev = jax.local_device_count()
+        self.threads = threads
+        # long pseudo-windows (wtype != 0) run on the host native
+        # engine by default: their noisy long-read arms never
+        # deduplicate and routinely exceed the K/N caps, so the device
+        # tile would mostly host-fallback anyway.  HYPO_DEVICE_LONG=1
+        # forces them through the device long class.
+        self.device_long = bool(os.environ.get("HYPO_DEVICE_LONG"))
+        from .engine import ConsensusEngine
+        self.host_engine = ConsensusEngine(sp, fix_long_align_type,
+                                           use_native)
         self.stats.update({"full_dispatches": 0, "full_windows": 0,
-                           "full_overflows": 0, "trivial_windows": 0})
+                           "full_overflows": 0, "trivial_windows": 0,
+                           "host_long_windows": 0})
 
     # -- program warm-up ----------------------------------------------------
     def warm(self, classes=(0,), wait: bool = False):
@@ -172,17 +185,26 @@ class FullDeviceRunner(DeviceConsensusRunner):
         debug = bool(os.environ.get("HYPO_POA_DEBUG"))
         t0 = time.time()
         jobs: List[_Job] = []
+        host_long = []
         count = 0
         for w in windows:
             if w is None:
                 continue
             count += 1
+            if w.wtype != 0 and not self.device_long:
+                host_long.append(w)
+                continue
             j = self._build_job(w)
             if j is not None:
                 jobs.append(j)
+        if host_long:
+            self.stats["host_long_windows"] += len(host_long)
+            self.host_engine.generate_consensus_batch(host_long,
+                                                      self.threads)
         if debug:
             print(f"[poa] build jobs: {time.time()-t0:.2f}s "
-                  f"({len(jobs)} jobs)", flush=True)
+                  f"({len(jobs)} jobs, {len(host_long)} host long)",
+                  flush=True)
         active = jobs
         wave = 0
         while active:

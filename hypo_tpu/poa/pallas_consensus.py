@@ -13,6 +13,11 @@ predecessor tables) in SMEM and runs the exact sequential algorithm,
 TW windows per grid block; the vector units stay free for the DP
 kernel's work.
 
+SMEM is ~1 MB and input windows are double-buffered, so the per-node
+tables are bit-packed into single i32 words (edge: weight << 11 |
+rank+1; node: support << 8 | code << 5 | is_end << 4 | pred_cnt) —
+without packing the N=1024 long-window class does not fit.
+
 Tie rules replicated exactly (tested bit-identical against
 hypo_tpu.poa.colpoa_ref.ColPoa.consensus):
 - relax picks max (weight, then pred score), later slots win ties
@@ -32,52 +37,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -(2 ** 30)
+RANK_BITS = 11          # rank+1 fits 11 bits for N <= 2047
+RANK_MASK = (1 << RANK_BITS) - 1
 
 
 @functools.lru_cache(maxsize=None)
 def _build_kernel(N: int, P: int, TW: int, MAXBC: int):
 
-    def kernel(pred_ref, predw_ref, cnt_ref, isend_ref, code_ref,
-               sup_ref, meta_ref, codes_out, sups_out, len_out,
+    def kernel(pred_ref, node_ref, meta_ref, out_ref, len_out,
                scores, preds):
         for w in range(TW):
             nn = meta_ref[w, 0]
             rank0 = meta_ref[w, 1]          # rank of node id 0
 
-            def relax_plain(r, bw, bpr, bsc):
+            def relax(r, banned: bool):
                 def slot(p, c):
                     bw, bpr, bsc = c
-                    pr = pred_ref[w, r * P + p]
-                    wt = predw_ref[w, r * P + p]
+                    e = pred_ref[w, r * P + p]
+                    pr = (e & RANK_MASK) - 1
+                    wt = e >> RANK_BITS
                     sc = scores[w, jnp.maximum(pr, 0)]
-                    take = (pr >= 0) & ((bw < wt)
-                                        | ((bw == wt) & (bsc <= sc)))
+                    ok = pr >= 0
+                    if banned:
+                        ok = ok & (sc != -1)
+                    take = ok & ((bw < wt) | ((bw == wt) & (bsc <= sc)))
                     return (jnp.where(take, wt, bw),
                             jnp.where(take, pr, bpr),
                             jnp.where(take, sc, bsc))
-                return jax.lax.fori_loop(0, cnt_ref[w, r], slot,
-                                         (bw, bpr, bsc))
-
-            def relax_banned(r, bw, bpr, bsc):
-                def slot(p, c):
-                    bw, bpr, bsc = c
-                    pr = pred_ref[w, r * P + p]
-                    wt = predw_ref[w, r * P + p]
-                    sc = scores[w, jnp.maximum(pr, 0)]
-                    take = ((pr >= 0) & (sc != -1)
-                            & ((bw < wt) | ((bw == wt) & (bsc <= sc))))
-                    return (jnp.where(take, wt, bw),
-                            jnp.where(take, pr, bpr),
-                            jnp.where(take, sc, bsc))
-                return jax.lax.fori_loop(0, cnt_ref[w, r], slot,
-                                         (bw, bpr, bsc))
+                cnt = node_ref[w, r] & 15
+                bw, bpr, bsc = jax.lax.fori_loop(
+                    0, cnt, slot,
+                    (jnp.int32(-1), jnp.int32(-1), jnp.int32(NEG)))
+                return jnp.where(bpr >= 0, bw + bsc, jnp.int32(-1)), bpr
 
             # -- first pass: relax in rank order, first max wins ----------
             def fp_body(r, carry):
                 msc, mr = carry
-                bw, bpr, bsc = relax_plain(
-                    r, jnp.int32(-1), jnp.int32(-1), jnp.int32(NEG))
-                score = jnp.where(bpr >= 0, bw + bsc, jnp.int32(-1))
+                score, bpr = relax(r, banned=False)
                 scores[w, r] = score
                 preds[w, r] = bpr
                 take = msc < score
@@ -90,7 +86,8 @@ def _build_kernel(N: int, P: int, TW: int, MAXBC: int):
             # -- branch completion (graph.cpp:660-705) --------------------
             def bc_cond(s):
                 mr, it = s
-                not_end = isend_ref[w, jnp.maximum(mr, 0)] == 0
+                not_end = ((node_ref[w, jnp.maximum(mr, 0)] >> 4) & 1
+                           ) == 0
                 return (nn > 0) & not_end & (it < MAXBC)
 
             def bc_body(s):
@@ -99,20 +96,22 @@ def _build_kernel(N: int, P: int, TW: int, MAXBC: int):
 
                 # ban other predecessors of every successor of rank0bc
                 def ban_v(v, _):
+                    cnt = node_ref[w, v] & 15
+
                     def chk(p, sflag):
-                        return sflag | (pred_ref[w, v * P + p]
-                                        == rank0bc)
-                    succ = jax.lax.fori_loop(0, cnt_ref[w, v], chk,
-                                             False)
+                        e = pred_ref[w, v * P + p]
+                        return sflag | ((e & RANK_MASK) - 1 == rank0bc)
+                    succ = jax.lax.fori_loop(0, cnt, chk, False)
 
                     def ban_p(p, _):
-                        pr = pred_ref[w, v * P + p]
+                        e = pred_ref[w, v * P + p]
+                        pr = (e & RANK_MASK) - 1
                         prc = jnp.maximum(pr, 0)
                         do = succ & (pr != rank0bc) & (pr >= 0)
                         scores[w, prc] = jnp.where(do, jnp.int32(-1),
                                                    scores[w, prc])
                         return 0
-                    jax.lax.fori_loop(0, cnt_ref[w, v], ban_p, 0)
+                    jax.lax.fori_loop(0, cnt, ban_p, 0)
                     return 0
                 jax.lax.fori_loop(0, nn, ban_v, 0)
 
@@ -122,9 +121,7 @@ def _build_kernel(N: int, P: int, TW: int, MAXBC: int):
                     msc2, mr2 = carry
                     scores[w, r] = jnp.int32(-1)
                     preds[w, r] = jnp.int32(-1)
-                    bw, bpr, bsc = relax_banned(
-                        r, jnp.int32(-1), jnp.int32(-1), jnp.int32(NEG))
-                    score = jnp.where(bpr >= 0, bw + bsc, jnp.int32(-1))
+                    score, bpr = relax(r, banned=True)
                     scores[w, r] = score
                     preds[w, r] = bpr
                     take = msc2 < score
@@ -146,8 +143,7 @@ def _build_kernel(N: int, P: int, TW: int, MAXBC: int):
             def bt_body(s):
                 r, t = s
                 rc = jnp.maximum(r, 0)
-                codes_out[w, t] = code_ref[w, rc]
-                sups_out[w, t] = sup_ref[w, rc]
+                out_ref[w, t] = node_ref[w, rc] >> 5  # sup<<3 | code
                 return preds[w, rc], t + 1
 
             r0 = jnp.where(nn > 0, mr, jnp.int32(-1))
@@ -177,25 +173,30 @@ def heaviest_bundle_pallas(pred_ranks, pred_w_r, pred_cnt_r, is_end_r,
         node_sup_r, n_nodes, rank0 = map(
             padb, (pred_ranks, pred_w_r, pred_cnt_r, is_end_r,
                    node_code_r, node_sup_r, n_nodes, rank0))
+    # bit-packed tables (see module docstring)
+    edges = jnp.where(pred_ranks >= 0,
+                      (pred_w_r << RANK_BITS) | (pred_ranks + 1),
+                      0).reshape(B, N * P).astype(jnp.int32)
+    nodes = ((node_sup_r.astype(jnp.int32) << 8)
+             | (node_code_r.astype(jnp.int32) << 5)
+             | (is_end_r.astype(jnp.int32) << 4)
+             | jnp.minimum(pred_cnt_r, 15).astype(jnp.int32))
     meta = jnp.stack([n_nodes.astype(jnp.int32),
                       rank0.astype(jnp.int32)], axis=1)
     grid = (B // TW,)
     smem2 = lambda c: pl.BlockSpec((TW, c), lambda i: (i, 0),  # noqa: E731
                                    memory_space=pltpu.SMEM)
-    codes, sups, lens = pl.pallas_call(
+    out, lens = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem2(N * P), smem2(N * P), smem2(N), smem2(N),
-                  smem2(N), smem2(N), smem2(2)],
-        out_specs=[smem2(N), smem2(N), smem2(1)],
+        in_specs=[smem2(N * P), smem2(N), smem2(2)],
+        out_specs=[smem2(N), smem2(1)],
         out_shape=[jax.ShapeDtypeStruct((B, N), jnp.int32),
-                   jax.ShapeDtypeStruct((B, N), jnp.int32),
                    jax.ShapeDtypeStruct((B, 1), jnp.int32)],
         scratch_shapes=[pltpu.SMEM((TW, N), jnp.int32),
                         pltpu.SMEM((TW, N), jnp.int32)],
         interpret=interpret,
-    )(pred_ranks.reshape(B, N * P), pred_w_r.reshape(B, N * P),
-      pred_cnt_r.astype(jnp.int32), is_end_r.astype(jnp.int32),
-      node_code_r.astype(jnp.int32), node_sup_r.astype(jnp.int32),
-      meta)
-    return codes[:B0], sups[:B0], lens[:B0, 0]
+    )(edges, nodes, meta)
+    codes_bwd = out & 7
+    sups_bwd = out >> 3
+    return codes_bwd[:B0], sups_bwd[:B0], lens[:B0, 0]

@@ -239,6 +239,10 @@ def _build_run(N: int, L: int, P: int, m: int, n: int, g: int, TW: int,
                 pltpu.VMEM((TW, LP), jnp.int32),
                 pltpu.VMEM((TW, LP), jnp.int32),
             ],
+            # the long class's H scratch ([TW, N+2, LP] i32) exceeds the
+            # default 16 MB scoped-vmem stack; v5e has 128 MB of VMEM
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(pred.reshape(B, N * P), node_code.astype(jnp.int32),
           pred_cnt.astype(jnp.int32), elig, meta, armx, atsel)

@@ -308,12 +308,21 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--short-cov", type=int, default=30)
     ap.add_argument("--long-cov", type=int, default=0)
     ap.add_argument("--draft-error", type=float, default=0.01)
+    ap.add_argument("--dropout", default=None,
+                    help="start,end fractions of each contig with no "
+                         "short-read sampling (forces the long-read "
+                         "path), e.g. 0.3,0.45")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
+    dropout = None
+    if args.dropout:
+        a, b = args.dropout.split(",")
+        dropout = (float(a), float(b))
     cfg = SimConfig(genome_size=args.genome_size,
                     num_contigs=args.num_contigs,
                     short_cov=args.short_cov, long_cov=args.long_cov,
-                    draft_error_rate=args.draft_error, seed=args.seed)
+                    draft_error_rate=args.draft_error, dropout=dropout,
+                    seed=args.seed)
     paths = simulate(cfg, args.out)
     for k, v in paths.items():
         print(f"{k}: {v}")
