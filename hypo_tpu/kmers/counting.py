@@ -116,9 +116,17 @@ class KmerCounter:
                            ).astype(np.int64)[:max_freq + 1]
 
 
-def count_files(filenames: List[str], k: int, cap: int = 0xFFFF
-                ) -> KmerCounter:
+def count_files(filenames: List[str], k: int, cap: int = 0xFFFF,
+                stride: int = 1, offset: int = 0) -> KmerCounter:
+    """Count canonical kmers of the given files.  stride/offset select
+    every stride-th read starting at offset — the distributed counting
+    path uses this to shard READS across ranks when there are fewer
+    read files than ranks."""
+    import itertools
     counter = KmerCounter(k, cap)
     for fn in filenames:
-        counter.add_reads(seq for _name, seq in read_fastx(fn))
+        seqs = (seq for _name, seq in read_fastx(fn))
+        if stride > 1:
+            seqs = itertools.islice(seqs, offset, None, stride)
+        counter.add_reads(seqs)
     return counter

@@ -63,6 +63,18 @@ class SolidKmers:
         if counter is None:
             counter = count_files(filenames, self.k, cap=hist_freq + 1)
         codes, counts = counter.items()
+        return self.initialise_from_counts(codes, counts, coverage,
+                                           exclude_hp)
+
+    def initialise_from_counts(self, codes: np.ndarray,
+                               counts: np.ndarray, coverage: int,
+                               exclude_hp: bool = True) -> "SolidKmers":
+        """Cutoffs + bitmask from a (possibly merged-across-hosts)
+        global canonical k-mer count table.  The selection semantics
+        apply to GLOBAL counts, matching the reference where KMC sees
+        every read file (SolidKmers.cpp:104-190)."""
+        hist_freq = 4 * coverage
+        counts = np.minimum(counts, hist_freq + 1)
         # KMC is invoked with -ci2: singletons never enter the database
         keep = counts >= 2
         codes, counts = codes[keep], counts[keep]
@@ -110,4 +122,29 @@ class SolidKmers:
             sk = cls(int(z["k"]))
             sk.bitset = Bitset(1 << (2 * sk.k), z["words"])
             sk.num_solid = int(z["num_solid"])
+        return sk
+
+    # -- reference-format interop ------------------------------------------
+    def store_sdsl(self, path: str) -> None:
+        """Write the bitmask in the reference's aux/solid_kmers.bvsd
+        format — an sdsl::bit_vector serialization: uint64 bit count
+        followed by raw little-endian uint64 words (sdsl int_vector<1>,
+        reference external/sdsl-lite/include/sdsl/int_vector.hpp:
+        1563-1578).  Lets the reference binary resume from our solid-
+        kmer stage (-i), which the differential end-to-end test uses to
+        bypass its KMC subprocess dependency."""
+        with open(path, "wb") as fh:
+            fh.write(np.uint64(self.bitset.nbits).tobytes())
+            fh.write(self.bitset.words.astype("<u8").tobytes())
+
+    @classmethod
+    def load_sdsl(cls, path: str, k: int) -> "SolidKmers":
+        """Read the reference's aux/solid_kmers.bvsd (see store_sdsl)."""
+        with open(path, "rb") as fh:
+            nbits = int(np.frombuffer(fh.read(8), "<u8")[0])
+            words = np.frombuffer(fh.read(), "<u8").copy()
+        assert nbits == 1 << (2 * k), (nbits, k)
+        sk = cls(k)
+        sk.bitset = Bitset(nbits, words[:(nbits + 63) // 64])
+        sk.num_solid = -1  # canonical count is not stored in the format
         return sk

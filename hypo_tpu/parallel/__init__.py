@@ -1,1 +1,1 @@
-from .mesh import make_mesh, sharded_polish_step, device_kmer_histogram  # noqa: F401
+from .mesh import make_mesh  # noqa: F401

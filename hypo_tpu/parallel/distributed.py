@@ -42,22 +42,6 @@ def initialize(coordinator_address: Optional[str] = None,
     return jax.process_index(), jax.process_count()
 
 
-def shard_contigs(lengths: Sequence[int], num_shards: int
-                  ) -> List[List[int]]:
-    """Size-balanced greedy contig assignment (longest-first onto the
-    lightest shard).  Deterministic across hosts."""
-    order = np.argsort([-int(x) for x in lengths], kind="stable")
-    loads = [0] * num_shards
-    shards: List[List[int]] = [[] for _ in range(num_shards)]
-    for cid in order:
-        s = int(np.argmin(loads))
-        shards[s].append(int(cid))
-        loads[s] += int(lengths[cid])
-    for s in shards:
-        s.sort()  # keep draft order within a shard (BAM stream order)
-    return shards
-
-
 def shard_contigs_contiguous(lengths: Sequence[int], num_shards: int
                              ) -> List[Tuple[int, int]]:
     """Split contigs into ``num_shards`` contiguous [lo, hi) ranges with
@@ -89,20 +73,74 @@ def shard_files(paths: Sequence[str], process_id: int,
             if i % num_processes == process_id]
 
 
-def merge_histograms_psum(local_hist: np.ndarray) -> np.ndarray:
-    """Merge per-host k-mer histograms with one psum over all devices.
+def psum_across_hosts(arr: np.ndarray) -> np.ndarray:
+    """Sum an identically-shaped per-host array across all hosts with
+    one psum over the global device mesh.
 
-    Each host contributes its local histogram once (replicated across
-    its local devices would overcount, so the histogram rides on local
-    device 0 and zeros elsewhere); the result is identical on every
-    host."""
+    Each host contributes its array once (replicating it across local
+    devices would overcount, so it rides on local device 0 with zeros
+    elsewhere); the result is identical on every host."""
     n_local = jax.local_device_count()
-    h = np.asarray(local_hist)
+    h = np.asarray(arr)
     stacked = np.zeros((n_local,) + h.shape, h.dtype)
     stacked[0] = h
     merged = jax.pmap(lambda x: jax.lax.psum(x, "d"), axis_name="d")(
         jnp.asarray(stacked))
     return np.asarray(merged[0])
+
+
+# back-compat name: the histogram merge is the same reduction
+merge_histograms_psum = psum_across_hosts
+
+
+def merge_dense_counts_psum(table: np.ndarray) -> np.ndarray:
+    """Global per-kmer count merge for DENSE tables (4^k fits memory):
+    one psum of the full table over the device mesh — the distributed
+    replacement for the reference's single KMC database over all read
+    files (external/suk/src/SolidKmers.cpp:104-190)."""
+    return psum_across_hosts(np.asarray(table, np.int32)).astype(
+        np.uint32)
+
+
+def merge_kmer_counts_files(codes: np.ndarray, counts: np.ndarray,
+                            aux_dir: str, process_id: int,
+                            num_processes: int,
+                            timeout_s: float = 3600.0):
+    """Filesystem-based global per-kmer count merge (sparse tables,
+    any k): every rank writes its local shard's (codes, counts) to
+    ``aux_dir/kmer_counts.shard{pid}.npz`` plus a ``.done`` marker,
+    waits for all shards, and computes the identical merged table.
+    This matches the CLI's coordinator-less multi-process mode (shared
+    filesystem, like the output gather); pod slices with a jax
+    coordinator can use merge_dense_counts_psum instead."""
+    import time
+    os.makedirs(aux_dir, exist_ok=True)
+    shard = os.path.join(aux_dir, f"kmer_counts.shard{process_id}.npz")
+    tmp = shard + f".tmp{process_id}.npz"
+    np.savez(tmp, codes=codes, counts=counts.astype(np.uint64))
+    os.replace(tmp, shard)
+    open(shard + ".done", "w").close()
+    parts_c, parts_n = [], []
+    deadline = time.time() + timeout_s
+    for p in range(num_processes):
+        sp = os.path.join(aux_dir, f"kmer_counts.shard{p}.npz")
+        while not os.path.exists(sp + ".done"):
+            if time.time() > deadline:
+                raise TimeoutError(f"kmer count shard never arrived: {sp}")
+            time.sleep(0.2)
+        with np.load(sp) as z:
+            parts_c.append(z["codes"])
+            parts_n.append(z["counts"])
+    allc = np.concatenate(parts_c)
+    alln = np.concatenate(parts_n)
+    if len(allc) == 0:
+        return allc, alln
+    order = np.argsort(allc, kind="stable")
+    allc = allc[order]
+    alln = alln[order]
+    uniq, start = np.unique(allc, return_index=True)
+    sums = np.add.reduceat(alln, start)
+    return uniq, sums
 
 
 def gather_polished_fasta(out_path: str, num_processes: int,

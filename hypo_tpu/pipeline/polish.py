@@ -145,7 +145,31 @@ class Polisher:
             sk = SolidKmers.load(skfile)
             self.monitor.stop("[hypo_tpu] Loaded solid kmers. ")
             return sk
-        sk = SolidKmers(f.k).initialise(f.sr_filenames, f.cov)
+        if f.num_processes > 1:
+            # distributed counting: each rank counts only its shard of
+            # the read files; the per-kmer tables merge globally so the
+            # selection semantics equal the reference's single KMC
+            # database over ALL reads (suk/src/SolidKmers.cpp:104-190)
+            from ..kmers.counting import KmerCounter, count_files
+            from ..parallel.distributed import (merge_kmer_counts_files,
+                                                shard_files)
+            cap = 4 * f.cov + 1
+            if len(f.sr_filenames) >= f.num_processes:
+                mine = shard_files(f.sr_filenames, f.process_id,
+                                   f.num_processes)
+                counter = (count_files(mine, f.k, cap=cap) if mine
+                           else KmerCounter(f.k, cap=cap))
+            else:  # fewer files than ranks: stride over reads instead
+                counter = count_files(f.sr_filenames, f.k, cap=cap,
+                                      stride=f.num_processes,
+                                      offset=f.process_id)
+            codes, counts = counter.items()
+            codes, counts = merge_kmer_counts_files(
+                codes, counts, f.aux_dir, f.process_id, f.num_processes)
+            sk = SolidKmers(f.k).initialise_from_counts(codes, counts,
+                                                        f.cov)
+        else:
+            sk = SolidKmers(f.k).initialise(f.sr_filenames, f.cov)
         # checkpoints are written by rank 0 only (shared-fs race; every
         # process computes the identical bitmask deterministically)
         if f.intermed and f.process_id == 0:

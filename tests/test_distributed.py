@@ -1,31 +1,24 @@
 """Multi-host distribution glue (hypo_tpu/parallel/distributed.py).
 
 The reference has no distributed layer (SURVEY §2.3); these validate the
-TPU-native one: deterministic contig sharding, psum histogram merge on
-the virtual 8-device mesh, and the rank-0 FASTA gather."""
+TPU-native one: deterministic contiguous contig sharding, the global
+k-mer count merges (filesystem and psum on the virtual 8-device mesh),
+and the rank-0 FASTA gather."""
 import os
 
 import numpy as np
 
+from hypo_tpu.io.fasta import read_fastx, write_fasta
 from hypo_tpu.parallel import distributed as dist
-from hypo_tpu.io.fasta import write_fasta, read_fastx
 
 
-def test_shard_contigs_balanced_and_deterministic():
+def test_shard_contigs_contiguous_covers_and_balances():
     lengths = [100, 5000, 40, 40, 3000, 900, 10]
-    shards = dist.shard_contigs(lengths, 3)
-    assert sorted(sum(shards, [])) == list(range(len(lengths)))
-    loads = [sum(lengths[c] for c in s) for s in shards]
-    assert max(loads) <= 5000  # longest-first keeps the giant alone
-    assert shards == dist.shard_contigs(lengths, 3)
-    for s in shards:
-        assert s == sorted(s)  # draft order within shard
-
-
-def test_shard_contigs_more_shards_than_contigs():
-    shards = dist.shard_contigs([10, 20], 4)
-    assert sorted(sum(shards, [])) == [0, 1]
-    assert sum(1 for s in shards if s) == 2
+    ranges = dist.shard_contigs_contiguous(lengths, 3)
+    assert ranges[0][0] == 0 and ranges[-1][1] == len(lengths)
+    for (a, b), (c, _d) in zip(ranges, ranges[1:]):
+        assert b == c and a <= b
+    assert ranges == dist.shard_contigs_contiguous(lengths, 3)
 
 
 def test_shard_files_round_robin():
@@ -36,10 +29,71 @@ def test_shard_files_round_robin():
     assert sorted(got[0] + got[1]) == sorted(paths)
 
 
-def test_merge_histograms_psum_identity_single_process():
+def test_psum_across_hosts_identity_single_process():
     h = np.arange(17, dtype=np.int32)
-    merged = dist.merge_histograms_psum(h)
+    merged = dist.psum_across_hosts(h)
     np.testing.assert_array_equal(merged, h)
+
+
+def test_merge_kmer_counts_files_two_ranks(tmp_path):
+    """Simulate two ranks sharing aux_dir; merged table = global sums."""
+    aux = str(tmp_path)
+    c0 = np.array([3, 7, 9], np.int64)
+    n0 = np.array([1, 4, 2], np.uint64)
+    c1 = np.array([1, 7, 9, 12], np.int64)
+    n1 = np.array([5, 1, 1, 9], np.uint64)
+    # rank 1 writes first (order must not matter)
+    dist.merge_kmer_counts_files(c1, n1, aux, 1, 2, timeout_s=30)
+    codes, counts = dist.merge_kmer_counts_files(c0, n0, aux, 0, 2,
+                                                 timeout_s=30)
+    np.testing.assert_array_equal(codes, [1, 3, 7, 9, 12])
+    np.testing.assert_array_equal(counts, [5, 1, 5, 3, 9])
+
+
+def test_distributed_solid_kmers_match_single_rank(tmp_path):
+    """nproc=2 (reads strided across ranks, counts merged) must produce
+    the same solid-kmer bitmask as nproc=1 — the reference's semantics
+    are one global KMC database (suk/src/SolidKmers.cpp:104-190)."""
+    from hypo_tpu.kmers.counting import count_files
+    from hypo_tpu.kmers.solid import SolidKmers
+    rng = np.random.default_rng(0)
+    genome = "".join("ACGT"[b] for b in rng.integers(0, 4, 4000))
+    reads = []
+    for _ in range(600):
+        s = int(rng.integers(0, len(genome) - 80))
+        reads.append(genome[s:s + 80])
+    fq = str(tmp_path / "reads.fa")
+    write_fasta(fq, ((f"r{i}", s) for i, s in enumerate(reads)))
+    k, cov = 7, 10
+    cap = 4 * cov + 1
+    # single rank
+    sk1 = SolidKmers(k).initialise([fq], cov)
+    # two ranks, strided reads, filesystem merge
+    sks = []
+    auxes = [str(tmp_path / "auxA"), str(tmp_path / "auxA")]
+    for pid in range(2):
+        counter = count_files([fq], k, cap=cap, stride=2, offset=pid)
+        codes, counts = counter.items()
+        m_codes, m_counts = dist.merge_kmer_counts_files(
+            codes, counts, auxes[pid], pid, 2, timeout_s=30)
+        sks.append(SolidKmers(k).initialise_from_counts(
+            m_codes, m_counts, cov))
+    for sk2 in sks:
+        np.testing.assert_array_equal(sk2.bitset.words, sk1.bitset.words)
+        assert sk2.get_num_solid_kmers() == sk1.get_num_solid_kmers()
+    # dense psum merge path gives the same table
+    from hypo_tpu.kmers.counting import KmerCounter
+    tables = []
+    for pid in range(2):
+        c = count_files([fq], k, cap=cap, stride=2, offset=pid)
+        tables.append(c._table.copy())
+    merged = dist.merge_dense_counts_psum(tables[0])  # 1-host identity
+    np.testing.assert_array_equal(merged, tables[0])
+    # two-rank dense merge == elementwise sum == single-rank table
+    summed = np.minimum(tables[0] + tables[1], cap)
+    single = count_files([fq], k, cap=cap)._table
+    np.testing.assert_array_equal(np.minimum(summed, cap),
+                                  np.minimum(single, cap))
 
 
 def test_gather_polished_fasta(tmp_path):
