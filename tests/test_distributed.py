@@ -35,19 +35,36 @@ def test_psum_across_hosts_identity_single_process():
     np.testing.assert_array_equal(merged, h)
 
 
+def _merge_all_ranks(parts, aux, timeout_s=60):
+    """Run merge_kmer_counts_files for every rank concurrently (each
+    rank blocks until all shards exist, like real processes would)."""
+    import threading
+    results = [None] * len(parts)
+
+    def run(pid):
+        c, n = parts[pid]
+        results[pid] = dist.merge_kmer_counts_files(
+            c, n, aux, pid, len(parts), timeout_s=timeout_s)
+
+    ts = [threading.Thread(target=run, args=(p,))
+          for p in range(len(parts))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    return results
+
+
 def test_merge_kmer_counts_files_two_ranks(tmp_path):
     """Simulate two ranks sharing aux_dir; merged table = global sums."""
-    aux = str(tmp_path)
     c0 = np.array([3, 7, 9], np.int64)
     n0 = np.array([1, 4, 2], np.uint64)
     c1 = np.array([1, 7, 9, 12], np.int64)
     n1 = np.array([5, 1, 1, 9], np.uint64)
-    # rank 1 writes first (order must not matter)
-    dist.merge_kmer_counts_files(c1, n1, aux, 1, 2, timeout_s=30)
-    codes, counts = dist.merge_kmer_counts_files(c0, n0, aux, 0, 2,
-                                                 timeout_s=30)
-    np.testing.assert_array_equal(codes, [1, 3, 7, 9, 12])
-    np.testing.assert_array_equal(counts, [5, 1, 5, 3, 9])
+    results = _merge_all_ranks([(c0, n0), (c1, n1)], str(tmp_path))
+    for codes, counts in results:
+        np.testing.assert_array_equal(codes, [1, 3, 7, 9, 12])
+        np.testing.assert_array_equal(counts, [5, 1, 5, 3, 9])
 
 
 def test_distributed_solid_kmers_match_single_rank(tmp_path):
@@ -69,15 +86,13 @@ def test_distributed_solid_kmers_match_single_rank(tmp_path):
     # single rank
     sk1 = SolidKmers(k).initialise([fq], cov)
     # two ranks, strided reads, filesystem merge
-    sks = []
-    auxes = [str(tmp_path / "auxA"), str(tmp_path / "auxA")]
+    parts = []
     for pid in range(2):
         counter = count_files([fq], k, cap=cap, stride=2, offset=pid)
-        codes, counts = counter.items()
-        m_codes, m_counts = dist.merge_kmer_counts_files(
-            codes, counts, auxes[pid], pid, 2, timeout_s=30)
-        sks.append(SolidKmers(k).initialise_from_counts(
-            m_codes, m_counts, cov))
+        parts.append(counter.items())
+    results = _merge_all_ranks(parts, str(tmp_path / "auxA"))
+    sks = [SolidKmers(k).initialise_from_counts(mc, mn, cov)
+           for mc, mn in results]
     for sk2 in sks:
         np.testing.assert_array_equal(sk2.bitset.words, sk1.bitset.words)
         assert sk2.get_num_solid_kmers() == sk1.get_num_solid_kmers()

@@ -92,18 +92,33 @@ def test_batched_contigs_match_single_batch(tmp_path):
 
 
 def test_multiprocess_shards_match_single_process(tmp_path):
-    # emulate 2 hosts over a shared filesystem: run each shard's polish
-    # sequentially, then the rank-0 gather must byte-match 1-process
+    # emulate 2 hosts over a shared filesystem: each rank's polish runs
+    # in its own thread (ranks block on each other's k-mer count shard
+    # and on the rank-0 gather), then the gathered output must
+    # byte-match the 1-process run
+    import threading
     paths = simulate(SimConfig(genome_size=12000, num_contigs=4, seed=13),
                      str(tmp_path))
     f1 = _flags(paths, tmp_path)
     f1.output_filename = str(tmp_path / "one.fa")
     polish(f1)
     out_multi = str(tmp_path / "multi.fa")
-    for pid in (1, 0):  # rank 0 last: its gather expects shard 1 present
-        fp = _flags(paths, tmp_path, num_processes=2, process_id=pid)
-        fp.output_filename = out_multi
-        polish(fp)
+    errs = []
+
+    def run(pid):
+        try:
+            fp = _flags(paths, tmp_path, num_processes=2, process_id=pid)
+            fp.output_filename = out_multi
+            polish(fp)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(pid,)) for pid in (0, 1)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errs, errs
     import hypo_tpu.io.fasta as fasta
     assert list(fasta.read_fastx(f1.output_filename)) == \
         list(fasta.read_fastx(out_multi))
