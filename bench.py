@@ -153,24 +153,27 @@ def main() -> None:
     # shared dev chip varies 10x run-to-run, so retry within budget
     best = None
     devout = None
+    n_ok = 0
     import hashlib
     for i in range(DEVICE_ATTEMPTS):
         left = deadline - time.time()
-        if i > 0 and left < 120:
+        if left < 140 and (i > 0 or best is not None):
             log(f"budget exhausted after {i} device attempt(s)")
             break
         r = run_cli(sim, size, f"/tmp/hypo_bench_dev{i}.fa",
-                    device=True, timeout=int(max(left, 150)))
+                    device=True,
+                    timeout=int(min(max(left - 30, 150), 460)))
         if r is None:
             log(f"device attempt {i}: failed/timeout")
             continue
+        n_ok += 1
         nwin, poa_s, total_s = r
         log(f"device attempt {i}: POA {poa_s:.2f}s "
             f"({nwin/poa_s:,.0f} w/s), total {total_s:.2f}s")
         if best is None or poa_s < best[1]:
             best = r
             devout = f"/tmp/hypo_bench_dev{i}.fa"
-        if i >= 1 and best[1] < 3.0:
+        if best[1] < 4.0 or n_ok >= 2:
             break
     if host and best and devout and os.path.exists(devout):
         h = hashlib.md5(open("/tmp/hypo_bench_host.fa", "rb").read()
