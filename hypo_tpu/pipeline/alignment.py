@@ -37,13 +37,26 @@ class Arm:
 
 
 class Alignment:
-    __slots__ = ("rb", "re", "qab", "qae", "codes", "cbytes", "cigar_ops",
-                 "cigar_lens", "cig_raw", "is_valid", "arms", "qname")
+    __slots__ = ("rb", "re", "qab", "qae", "codes", "_cbytes",
+                 "cigar_ops", "cigar_lens", "cig_raw", "is_valid", "arms",
+                 "qname")
 
     def __init__(self):
         self.arms: List[Arm] = []
         self.is_valid = True
         self.cig_raw = None  # BAM-encoded u32 CIGAR (native loader)
+        self._cbytes = None
+
+    @property
+    def cbytes(self) -> bytes:
+        """Lazy bytes view of the aligned codes for the Python arm
+        anchor searches (bytes.find/rfind).  Built on first use only —
+        the native arm path never touches it, so read memory stays one
+        byte per base instead of two (the reference packs 2-bit,
+        PackedSeq.hpp:80-160; our native batch buffers are transient)."""
+        if self._cbytes is None:
+            self._cbytes = self.codes.tobytes()
+        return self._cbytes
 
     # -- construction -----------------------------------------------------
     @classmethod
@@ -83,7 +96,7 @@ class Alignment:
             a.is_valid = False  # reads containing N are dropped
             return a
         a.codes = np.ascontiguousarray(codes)
-        a.cbytes = a.codes.tobytes()
+
         a.qab = 0
         a.qae = qae - qab
         a.cigar_ops = ops
@@ -101,7 +114,7 @@ class Alignment:
         a.rb = rb
         a.re = re
         a.codes = codes
-        a.cbytes = codes.tobytes()
+
         a.qab = 0
         a.qae = len(codes)
         a.cigar_ops = ops
