@@ -343,6 +343,13 @@ struct Graph {
     }
 
     // ------- heaviest bundle consensus ---------------------------------
+    // PROVENANCE: traverse_heaviest_bundle/branch_completion closely
+    // follow the reference's spoa graph.cpp:610-705 by necessity — the
+    // bit-parity goal requires replicating its exact tie-breaking
+    // (max (weight, pred score) with later-edge ties, the node-0 reset
+    // in branch completion, suffix-only re-relaxation).  The
+    // surrounding data structures (edge pool, flat rank arrays) are
+    // this repo's own design.
     void traverse_heaviest_bundle() {
         int n = (int)nodes.size();
         std::vector<int> predecessors(n, -1);
