@@ -194,6 +194,16 @@ class FullDeviceRunner(DeviceConsensusRunner):
             if w.wtype != 0 and not self.device_long:
                 host_long.append(w)
                 continue
+            non_empty = w.num_internal + w.num_pre + w.num_suf
+            if (w.wtype == 0 and w.num_empty <= non_empty
+                    and non_empty >= 2):
+                # identical-arm shortcut BEFORE decoding/dedup — the
+                # majority case; same condition _trivial would find
+                tc = self.host_engine._trivial_consensus(w)
+                if tc is not None:
+                    w.consensus = tc
+                    self.stats["trivial_windows"] += 1
+                    continue
             j = self._build_job(w)
             if j is not None:
                 jobs.append(j)
