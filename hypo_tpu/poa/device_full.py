@@ -389,9 +389,8 @@ def _merge(st: PoaState, order, node_col_r, matched, arm, arm_len, w,
     oh_v = _oh(v, edge_valid, N)                        # [L, N]
     pv = jnp.einsum("ln,np->lp", oh_v,
                     st.pred_nd.astype(jnp.float32)).astype(jnp.int32)
-    vcnt = _mv(oh_v.T, ...) if False else jnp.einsum(
-        "ln,n->l", oh_v, st.pred_cnt.astype(jnp.float32)
-    ).astype(jnp.int32)
+    vcnt = jnp.einsum("ln,n->l", oh_v,
+                      st.pred_cnt.astype(jnp.float32)).astype(jnp.int32)
     hit = (pv == u[:, None]) & edge_valid[:, None]
     has = jnp.any(hit, axis=1) & edge_valid
     slot = jnp.where(has, jnp.argmax(hit, axis=1), vcnt)
