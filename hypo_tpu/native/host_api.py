@@ -88,7 +88,18 @@ def count_kmers_dense(codes: np.ndarray, k: int, table: np.ndarray,
                                _ptr(table, _u32p), nthreads)
 
 
+_PACK_CACHE: dict = {}
+
+
 def _pack_alignments(alignments: List):
+    """Flatten (codes, offsets, rb, re) for the native calls.  The same
+    alignment list flows through three stages (k-mer support, minimizer
+    support, arm finding), so the flattened buffer is cached per list
+    identity — one transient copy per contig batch instead of three."""
+    key = id(alignments)
+    hit = _PACK_CACHE.get(key)
+    if hit is not None and hit[0] is alignments:
+        return hit[1]
     lens = np.array([len(a.codes) for a in alignments], dtype=np.int64)
     off = np.zeros(len(alignments) + 1, dtype=np.int64)
     np.cumsum(lens, out=off[1:])
@@ -97,7 +108,16 @@ def _pack_alignments(alignments: List):
         buf[o0:o1] = a.codes
     rb = np.array([a.rb for a in alignments], dtype=np.int64)
     re = np.array([a.re for a in alignments], dtype=np.int64)
-    return buf, off, rb, re
+    packed = (buf, off, rb, re)
+    _PACK_CACHE.clear()  # keep at most one contig's buffer alive
+    _PACK_CACHE[key] = (alignments, packed)
+    return packed
+
+
+def clear_pack_cache() -> None:
+    """Drop the cached flattened buffer (call once a contig's native
+    stages are done, so the copy does not outlive the batch)."""
+    _PACK_CACHE.clear()
 
 
 def skmer_support(contig, alignments: List, k: int,

@@ -341,6 +341,8 @@ class Polisher:
             else:
                 for aln in store[cid]:
                     aln.find_short_arms(f.k, ctg)
+        if native_host:
+            host_api.clear_pack_cache()
         mon.stop("[hypo_tpu] Short arms. ")
 
         mon.start()
@@ -377,6 +379,8 @@ class Polisher:
                         aln.find_long_arms(ctg)
                     ctg.fill_long_windows(lstore[cid])
                 lstore[cid] = []
+            if native_host:
+                host_api.clear_pack_cache()
             mon.stop("[hypo_tpu] Long arms. ")
 
         mon.start()
