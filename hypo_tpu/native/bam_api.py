@@ -30,7 +30,8 @@ _u8p = ctypes.POINTER(ctypes.c_uint8)
 
 def _build() -> bool:
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-           "-march=native", _SRC, "-o", _LIB + ".tmp", "-lz"]
+           "-march=native", "-fopenmp", _SRC, "-o", _LIB + ".tmp",
+           "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         os.replace(_LIB + ".tmp", _LIB)

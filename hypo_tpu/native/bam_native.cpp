@@ -64,46 +64,68 @@ struct BamReader {
 const uint8_t kNib2Code[16] = {4, 0, 1, 4, 2, 4, 4, 4,
                                3, 4, 4, 4, 4, 4, 4, 4};
 
+// BGZF blocks are independent deflate streams, so a batch of them
+// inflates in parallel (the htslib role of its decompression thread
+// pool): headers are scanned sequentially (cheap), payloads land in
+// one compressed scratch, and an OpenMP loop inflates every block
+// into its precomputed slice of dbuf.
 bool BamReader::read_block() {
+    struct Meta { size_t zoff; int clen; uint32_t isize; };
+    constexpr int kBatch = 48;      // 48 x 64KB ~ 3 MB per refill
+    std::vector<Meta> metas;
+    zbuf.clear();
     uint8_t hdr[12];
-    if (fread(hdr, 1, 12, f) != 12) { eof = true; return false; }
-    if (hdr[0] != 0x1f || hdr[1] != 0x8b) { err = "bad gzip magic"; return false; }
-    const int xlen = hdr[10] | (hdr[11] << 8);
-    std::vector<uint8_t> extra(xlen);
-    if ((int)fread(extra.data(), 1, xlen, f) != xlen) { err = "truncated extra"; return false; }
-    int bsize = -1;
-    for (int o = 0; o + 4 <= xlen;) {
-        const int si1 = extra[o], si2 = extra[o + 1];
-        const int slen = extra[o + 2] | (extra[o + 3] << 8);
-        if (si1 == 'B' && si2 == 'C' && slen == 2)
-            bsize = (extra[o + 4] | (extra[o + 5] << 8)) + 1;
-        o += 4 + slen;
+    std::vector<uint8_t> extra;
+    while ((int)metas.size() < kBatch) {
+        if (fread(hdr, 1, 12, f) != 12) { eof = true; break; }
+        if (hdr[0] != 0x1f || hdr[1] != 0x8b) { err = "bad gzip magic"; return false; }
+        const int xlen = hdr[10] | (hdr[11] << 8);
+        extra.resize(xlen);
+        if ((int)fread(extra.data(), 1, xlen, f) != xlen) { err = "truncated extra"; return false; }
+        int bsize = -1;
+        for (int o = 0; o + 4 <= xlen;) {
+            const int si1 = extra[o], si2 = extra[o + 1];
+            const int slen = extra[o + 2] | (extra[o + 3] << 8);
+            if (si1 == 'B' && si2 == 'C' && slen == 2)
+                bsize = (extra[o + 4] | (extra[o + 5] << 8)) + 1;
+            o += 4 + slen;
+        }
+        if (bsize < 0) { err = "missing BC subfield (not BGZF)"; return false; }
+        const int cdata_len = bsize - 12 - xlen - 8;
+        const size_t zoff = zbuf.size();
+        zbuf.resize(zoff + cdata_len + 8);
+        if ((int)fread(zbuf.data() + zoff, 1, cdata_len + 8, f) != cdata_len + 8) {
+            err = "truncated block"; return false;
+        }
+        uint32_t isize;
+        memcpy(&isize, zbuf.data() + zoff + cdata_len + 4, 4);
+        if (isize > 0) metas.push_back({zoff, cdata_len, isize});
     }
-    if (bsize < 0) { err = "missing BC subfield (not BGZF)"; return false; }
-    const int cdata_len = bsize - 12 - xlen - 8;
-    zbuf.resize(cdata_len + 8);
-    if ((int)fread(zbuf.data(), 1, cdata_len + 8, f) != cdata_len + 8) {
-        err = "truncated block"; return false;
-    }
-    uint32_t isize;
-    memcpy(&isize, zbuf.data() + cdata_len + 4, 4);
-    if (isize == 0) return true;  // EOF marker block
+    if (metas.empty()) return true;  // pure EOF / marker blocks
     // drop consumed prefix of dbuf occasionally
     if (dpos > (1 << 20)) {
         dbuf.erase(dbuf.begin(), dbuf.begin() + dpos);
         dpos = 0;
     }
     const size_t old = dbuf.size();
-    dbuf.resize(old + isize);
-    z_stream zs{};
-    inflateInit2(&zs, -15);
-    zs.next_in = zbuf.data();
-    zs.avail_in = cdata_len;
-    zs.next_out = dbuf.data() + old;
-    zs.avail_out = isize;
-    const int rc = inflate(&zs, Z_FINISH);
-    inflateEnd(&zs);
-    if (rc != Z_STREAM_END) { err = "inflate failed"; return false; }
+    std::vector<size_t> doff(metas.size() + 1, 0);
+    for (size_t i = 0; i < metas.size(); ++i)
+        doff[i + 1] = doff[i] + metas[i].isize;
+    dbuf.resize(old + doff.back());
+    bool ok = true;
+    #pragma omp parallel for schedule(dynamic)
+    for (int i = 0; i < (int)metas.size(); ++i) {
+        z_stream zs{};
+        inflateInit2(&zs, -15);
+        zs.next_in = zbuf.data() + metas[i].zoff;
+        zs.avail_in = metas[i].clen;
+        zs.next_out = dbuf.data() + old + doff[i];
+        zs.avail_out = metas[i].isize;
+        const int rc = inflate(&zs, Z_FINISH);
+        inflateEnd(&zs);
+        if (rc != Z_STREAM_END) ok = false;
+    }
+    if (!ok) { err = "inflate failed"; return false; }
     return true;
 }
 
