@@ -393,6 +393,8 @@ class Polisher:
         else:
             nwin += engine.generate_consensus_batch(all_windows,
                                                     f.threads)
+        for w in all_windows:
+            w.clear_arms()  # cap RSS: arms are dead once consensus is set
         mon.stop(f"[hypo_tpu] POA over {nwin} windows. ")
 
         if f.inspect:

@@ -70,6 +70,16 @@ class Window:
         return (self.num_internal + self.num_empty + self.num_pre
                 + self.num_suf)
 
+    def clear_arms(self) -> None:
+        """Drop the arm code arrays once the FINAL consensus is set (the
+        counters survive for --inspect dumps).  The reference keeps
+        every window's PackedSeq arms alive until the contig is
+        destroyed after output — a large share of its 380 GB human-run
+        footprint; freeing them per consensus caps our per-batch RSS."""
+        self.internal_arms = []
+        self.pre_arms = []
+        self.suf_arms = []
+
     def clear_pre_suf(self) -> None:
         self.num_pre = 0
         self.num_suf = 0
