@@ -82,6 +82,12 @@ struct Graph {
         return first;
     }
 
+    // PROVENANCE: like traverse_heaviest_bundle below, this DFS with
+    // aligned-group hoisting closely follows the reference's spoa
+    // graph.cpp:293-353 by necessity — the bit-parity goal requires
+    // the exact rank order it emits (a node's whole aligned group is
+    // appended when its first member finalizes, in aligned-id order),
+    // which downstream tie-breaking depends on.
     void topological_sort() {
         rank_to_node_id.clear();
         int n = (int)nodes.size();
@@ -128,6 +134,12 @@ struct Graph {
     }
 
     // alignment: pairs (node_id|-1, seq_idx|-1)
+    // PROVENANCE: the node-fusion walk (match-to-node vs match-to-
+    // aligned-twin vs new-node-joining-the-aligned-group, head/tail
+    // stretch handling, begin/prev edge weaving) closely follows the
+    // reference's spoa graph.cpp:154-271 by necessity — bit-parity
+    // requires its exact group-membership and edge-weight semantics.
+    // The flat edge pool and rank arrays around it are this repo's own.
     void add_alignment(const int32_t* anode, const int32_t* aseq,
                        int alen, const char* seq, int slen,
                        int weight = 1) {

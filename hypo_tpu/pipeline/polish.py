@@ -183,13 +183,20 @@ class Polisher:
     # -- main -------------------------------------------------------------
     def _resolve_device_poa(self) -> None:
         """use_device_poa=None means auto: run window consensus on the
-        device path when a TPU backend is present (the reference always
-        runs its fastest engine, simd_alignment_engine.cpp:46-142)."""
+        engine that is measured fastest on this installation (the
+        reference always runs its fastest engine,
+        simd_alignment_engine.cpp:46-142).  On short-read workloads the
+        host native engine currently beats the device tile path
+        end-to-end (see CROSSOVER.md), so auto only picks the device
+        path when a TPU is present AND HYPO_AUTO_DEVICE_POA=1 opts in;
+        --device-poa forces it unconditionally."""
         f = self.flags
         if f.use_device_poa is None:
             try:
                 import jax
-                f.use_device_poa = jax.default_backend() == "tpu"
+                f.use_device_poa = (
+                    jax.default_backend() == "tpu"
+                    and bool(os.environ.get("HYPO_AUTO_DEVICE_POA")))
             except Exception:
                 f.use_device_poa = False
 
