@@ -36,9 +36,15 @@ class KmerCounter:
         self.cap = cap
         self.size = 1 << (2 * k)
         self.dense = self.size <= DENSE_LIMIT
+        self._native_sparse = None
         if self.dense:
             self._table = np.zeros(self.size, dtype=np.uint32)
         else:
+            from ..native import host_api
+            if host_api.available():
+                # the KMC3-scale path: radix-partitioned native
+                # accumulator, memory bounded by distinct kmers
+                self._native_sparse = host_api.SparseCounterNative(k)
             self._codes = np.zeros(0, dtype=np.int64)
             self._counts = np.zeros(0, dtype=np.uint32)
             self._pending: List[np.ndarray] = []
@@ -51,6 +57,9 @@ class KmerCounter:
             if host_api.available():
                 host_api.count_kmers_dense(codes, self.k, self._table)
                 return
+        elif self._native_sparse is not None:
+            self._native_sparse.add(codes)
+            return
         km, valid = kmer_codes(codes, self.k)
         km = km[valid]
         if len(km) == 0:
@@ -103,6 +112,9 @@ class KmerCounter:
         if self.dense:
             nz = np.nonzero(self._table)[0]
             return nz.astype(np.int64), np.minimum(self._table[nz], self.cap)
+        if self._native_sparse is not None:
+            codes, counts = self._native_sparse.items()
+            return codes, np.minimum(counts, self.cap).astype(np.uint32)
         self._compact()
         return self._codes, self._counts
 

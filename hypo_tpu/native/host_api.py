@@ -54,6 +54,17 @@ def _load():
             return None
         lib.hypo_count_kmers_dense.argtypes = [
             _u8p, ctypes.c_int64, ctypes.c_int, _u32p, ctypes.c_int]
+        lib.hypo_sparse_counter_new.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int64]
+        lib.hypo_sparse_counter_new.restype = ctypes.c_void_p
+        lib.hypo_sparse_counter_add.argtypes = [
+            ctypes.c_void_p, _u8p, ctypes.c_int64, ctypes.c_int]
+        lib.hypo_sparse_counter_finalize.argtypes = [
+            ctypes.c_void_p, ctypes.c_int]
+        lib.hypo_sparse_counter_finalize.restype = ctypes.c_int64
+        lib.hypo_sparse_counter_items.argtypes = [
+            ctypes.c_void_p, _i64p, _u32p]
+        lib.hypo_sparse_counter_free.argtypes = [ctypes.c_void_p]
         lib.hypo_skmer_support.argtypes = [
             _i64p, _i64p, ctypes.c_int64, ctypes.c_int,
             _u8p, _i64p, _i64p, _i64p, ctypes.c_int64,
@@ -86,6 +97,45 @@ def count_kmers_dense(codes: np.ndarray, k: int, table: np.ndarray,
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     lib.hypo_count_kmers_dense(_ptr(codes, _u8p), len(codes), k,
                                _ptr(table, _u32p), nthreads)
+
+
+class SparseCounterNative:
+    """Stateful radix-partitioned canonical k-mer counter (the k >= 15
+    KMC3-scale path; see host_native.cpp).  Same accumulate/items
+    contract as the NumPy sparse backend in kmers.counting."""
+
+    def __init__(self, k: int, pbits: int = 8,
+                 pending_limit: int = 48 << 20):
+        self._lib = _load()
+        assert self._lib is not None
+        self.k = k
+        self._h = self._lib.hypo_sparse_counter_new(
+            k, pbits, pending_limit)
+
+    def add(self, codes: np.ndarray, nthreads: int = 0) -> None:
+        codes = np.ascontiguousarray(codes, dtype=np.uint8)
+        self._lib.hypo_sparse_counter_add(
+            self._h, _ptr(codes, _u8p), len(codes), nthreads)
+
+    def items(self, nthreads: int = 0):
+        total = self._lib.hypo_sparse_counter_finalize(self._h, nthreads)
+        codes = np.empty(total, np.int64)
+        counts = np.empty(total, np.uint32)
+        if total:
+            self._lib.hypo_sparse_counter_items(
+                self._h, _ptr(codes, _i64p), _ptr(counts, _u32p))
+        return codes, counts
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.hypo_sparse_counter_free(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 _PACK_CACHE: dict = {}

@@ -84,6 +84,185 @@ void hypo_count_kmers_dense(const uint8_t* codes, int64_t n, int k,
 }
 
 // ---------------------------------------------------------------------
+// Canonical k-mer counting (sparse, radix-partitioned) — the k >= 15
+// path where the 4^k dense table no longer fits.  This is the KMC3
+// role (reference external/suk/src/SolidKmers.cpp:104-151) as an
+// in-process accumulator: canonical kmers are bucketed by their top
+// bits into NPART partitions; each partition keeps a sorted
+// (code, count) store that pending batches are sort-merged into.
+// Memory stays bounded by (distinct kmers + pending batch).
+//
+// Lifecycle: new -> add* -> finalize -> items -> free.  items() emits
+// partitions in order, so the full (codes, counts) output is globally
+// sorted ascending — identical to the NumPy oracle in
+// hypo_tpu/kmers/counting.py (tested for parity).
+
+struct HypoSparseCounter {
+    int k;
+    int pbits;
+    int64_t pending_limit;
+    int64_t pending_total = 0;
+    // per-partition list of pending batches (moved in whole from the
+    // scan threads — no copies on the hot path)
+    std::vector<std::vector<std::vector<uint64_t>>> pending;
+    std::vector<std::vector<uint64_t>> codes;    // sorted distinct
+    std::vector<std::vector<uint32_t>> counts;
+};
+
+static void sparse_compact_part(HypoSparseCounter* h, int p) {
+    auto& batches = h->pending[p];
+    if (batches.empty()) return;
+    size_t tot = 0;
+    for (auto& b : batches) tot += b.size();
+    if (tot == 0) { batches.clear(); return; }
+    std::vector<uint64_t> pend;
+    pend.reserve(tot);
+    for (auto& b : batches)
+        pend.insert(pend.end(), b.begin(), b.end());
+    batches.clear();
+    batches.shrink_to_fit();
+    std::sort(pend.begin(), pend.end());
+    auto& oc = h->codes[p];
+    auto& on = h->counts[p];
+    std::vector<uint64_t> nc;
+    std::vector<uint32_t> nn;
+    nc.reserve(oc.size() + pend.size());
+    nn.reserve(oc.size() + pend.size());
+    size_t i = 0, j = 0;
+    while (i < oc.size() || j < pend.size()) {
+        if (j >= pend.size() || (i < oc.size() && oc[i] < pend[j])) {
+            nc.push_back(oc[i]);
+            nn.push_back(on[i]);
+            ++i;
+        } else {
+            uint64_t v = pend[j];
+            uint64_t run = 0;
+            while (j < pend.size() && pend[j] == v) { ++run; ++j; }
+            if (i < oc.size() && oc[i] == v) {
+                run += on[i];
+                ++i;
+            }
+            nc.push_back(v);
+            nn.push_back((uint32_t)std::min<uint64_t>(run, 0xFFFFFFFFu));
+        }
+    }
+    oc.swap(nc);
+    on.swap(nn);
+}
+
+static void sparse_compact_all(HypoSparseCounter* h, int nthreads) {
+#ifdef _OPENMP
+    if (nthreads > 0) omp_set_num_threads(nthreads);
+#endif
+    const int np = 1 << h->pbits;
+#pragma omp parallel for schedule(dynamic, 1)
+    for (int p = 0; p < np; ++p) sparse_compact_part(h, p);
+    h->pending_total = 0;
+}
+
+void* hypo_sparse_counter_new(int k, int pbits, int64_t pending_limit) {
+    auto* h = new HypoSparseCounter();
+    h->k = k;
+    h->pbits = pbits;
+    h->pending_limit = pending_limit > 0 ? pending_limit : (192LL << 20);
+    const int np = 1 << pbits;
+    h->pending.resize(np);
+    h->codes.resize(np);
+    h->counts.resize(np);
+    return h;
+}
+
+void hypo_sparse_counter_add(void* hv, const uint8_t* seq_codes,
+                             int64_t n, int nthreads) {
+    auto* h = reinterpret_cast<HypoSparseCounter*>(hv);
+    const int k = h->k;
+    const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+    const int shift = 2 * (k - 1);
+    const int pshift = 2 * k - h->pbits;
+    const int np = 1 << h->pbits;
+#ifdef _OPENMP
+    if (nthreads > 0) omp_set_num_threads(nthreads);
+#endif
+#pragma omp parallel
+    {
+        // thread-local partition buffers, MOVED into the store under a
+        // critical section at the end (pointer swaps, not copies)
+        std::vector<std::vector<uint64_t>> loc(np);
+#ifdef _OPENMP
+        const int tid = omp_get_thread_num();
+        const int nth = omp_get_num_threads();
+#else
+        const int tid = 0, nth = 1;
+#endif
+        const int64_t chunk = (n + nth - 1) / nth;
+        const int64_t beg = tid * chunk;
+        const int64_t end = std::min(n, beg + chunk);
+        if (beg < end) {
+            const size_t est = (size_t)(end - beg) / np + 64;
+            for (auto& v : loc) v.reserve(est + est / 4);
+            int64_t scan0 = std::max<int64_t>(0, beg - (k - 1));
+            uint64_t fwd = 0, rc = 0;
+            int valid = 0;
+            for (int64_t i = scan0; i < std::min(n, end + k - 1); ++i) {
+                uint8_t c = seq_codes[i];
+                if (c < 4) {
+                    fwd = ((fwd << 2) | c) & mask;
+                    rc = (rc >> 2) | ((uint64_t)(3 ^ c) << shift);
+                    ++valid;
+                    if (valid >= k) {
+                        int64_t start = i - k + 1;
+                        if (start >= beg && start < end) {
+                            uint64_t canon = fwd < rc ? fwd : rc;
+                            loc[canon >> pshift].push_back(canon);
+                        }
+                    }
+                } else {
+                    valid = 0;
+                }
+            }
+        }
+#pragma omp critical
+        {
+            for (int p = 0; p < np; ++p) {
+                if (loc[p].empty()) continue;
+                h->pending_total += (int64_t)loc[p].size();
+                h->pending[p].push_back(std::move(loc[p]));
+            }
+        }
+    }
+    if (h->pending_total > h->pending_limit)
+        sparse_compact_all(h, nthreads);
+}
+
+int64_t hypo_sparse_counter_finalize(void* hv, int nthreads) {
+    auto* h = reinterpret_cast<HypoSparseCounter*>(hv);
+    sparse_compact_all(h, nthreads);
+    int64_t total = 0;
+    for (auto& c : h->codes) total += (int64_t)c.size();
+    return total;
+}
+
+void hypo_sparse_counter_items(void* hv, int64_t* codes_out,
+                               uint32_t* counts_out) {
+    auto* h = reinterpret_cast<HypoSparseCounter*>(hv);
+    int64_t off = 0;
+    const int np = 1 << h->pbits;
+    for (int p = 0; p < np; ++p) {
+        const auto& c = h->codes[p];
+        const auto& n = h->counts[p];
+        std::memcpy(codes_out + off, c.data(),
+                    c.size() * sizeof(uint64_t));
+        std::memcpy(counts_out + off, n.data(),
+                    n.size() * sizeof(uint32_t));
+        off += (int64_t)c.size();
+    }
+}
+
+void hypo_sparse_counter_free(void* hv) {
+    delete reinterpret_cast<HypoSparseCounter*>(hv);
+}
+
+// ---------------------------------------------------------------------
 // Solid-kmer coverage/support update (reference
 // Alignment::update_solidkmers_support, src/Alignment.cpp:65-132).
 //

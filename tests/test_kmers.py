@@ -59,6 +59,39 @@ def test_sparse_compaction(monkeypatch):
         kmer_to_int(s): n for s, n in naive.items()}
 
 
+def test_native_sparse_counter_parity_k15(monkeypatch):
+    """The native radix-partitioned sparse counter (the KMC3-scale
+    k >= 15 path, host_native.cpp hypo_sparse_counter_*) must agree
+    exactly with the NumPy sparse oracle on a multi-batch workload."""
+    from hypo_tpu.native import host_api
+    if not host_api.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(7)
+    k = 15
+    batches = []
+    for _ in range(3):
+        codes = rng.integers(0, 4, size=50_000).astype(np.uint8)
+        codes[rng.integers(0, len(codes), 50)] = 4  # N separators
+        batches.append(codes)
+
+    native = host_api.SparseCounterNative(k, pbits=4, pending_limit=10_000)
+    for b in batches:
+        native.add(b)
+    got_codes, got_counts = native.items()
+    native.close()
+
+    monkeypatch.setenv("HYPO_TPU_NO_NATIVE", "1")
+    monkeypatch.setattr("hypo_tpu.kmers.counting.DENSE_LIMIT", 1)
+    oracle = KmerCounter(k, cap=0xFFFFFFFF)
+    for b in batches:
+        oracle.add_codes(b)
+    want_codes, want_counts = oracle.items()
+    np.testing.assert_array_equal(got_codes, want_codes)
+    np.testing.assert_array_equal(got_counts, want_counts)
+    # ascending (partition-ordered) output like the oracle
+    assert np.all(np.diff(got_codes) > 0)
+
+
 def test_bitset():
     bs = Bitset(1000)
     idx = np.array([0, 63, 64, 999, 63])
