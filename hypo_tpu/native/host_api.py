@@ -263,6 +263,166 @@ def _pack_cigars(alignments: List):
     return np.ascontiguousarray(buf), off
 
 
+def _register_tiles(lib):
+    if getattr(lib, "_tiles_registered", False):
+        return
+    _i8p = ctypes.POINTER(ctypes.c_int8)
+    lib.hypo_tile_jobs.restype = ctypes.c_void_p
+    lib.hypo_tile_jobs.argtypes = [
+        _u8p, _i64p, ctypes.c_int64, _u8p, _u8p,
+        _i64p, _i64p, _i64p, _i64p, _u8p, ctypes.c_int64,
+        _u8p, _i64p]
+    for name, restype in [
+            ("hypo_tile_njobs", ctypes.c_int64),
+            ("hypo_tile_next", ctypes.c_int64),
+            ("hypo_tile_cons_len", ctypes.c_int64),
+            ("hypo_tile_flag", _u8p),
+            ("hypo_tile_cons_off", _i64p),
+            ("hypo_tile_cons_buf", _u8p),
+            ("hypo_tile_job_windex", _i64p),
+            ("hypo_tile_job_next", _i32p),
+            ("hypo_tile_job_maxlen", _i32p),
+            ("hypo_tile_job_ext_off", _i64p),
+            ("hypo_tile_ext_len", _i32p),
+            ("hypo_tile_ext_mode", _i8p),
+            ("hypo_tile_ext_w", _i32p),
+            ("hypo_tile_ext_off", _i64p),
+            ("hypo_tile_ext_buf", _i8p)]:
+        fn = getattr(lib, name)
+        fn.restype = restype
+        fn.argtypes = [ctypes.c_void_p]
+    lib.hypo_tile_jobs_free.argtypes = [ctypes.c_void_p]
+    lib.hypo_tile_pack.restype = ctypes.c_int64
+    lib.hypo_tile_pack.argtypes = [
+        _i64p, ctypes.c_int64, ctypes.c_int64,
+        _i32p, _i64p, _i32p, _i8p, _i32p, _i64p, _i8p, _i32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int,
+        _i8p, _i32p, _i32p, _i8p, _i32p, _i32p, _i32p, _i32p]
+    lib.hypo_tile_finalize.argtypes = [
+        _i8p, ctypes.c_int, ctypes.c_int, _i32p, ctypes.c_int64,
+        ctypes.c_int, _u8p, ctypes.c_int64, _i32p]
+    lib._tiles_registered = True
+
+
+class TileJobs:
+    """Result of the native phase-A job build for one contig (see
+    host_native.cpp hypo_tile_jobs).  Arrays are COPIED out so the
+    native handle can be freed eagerly."""
+
+    def __init__(self, lib, h, n_reg: int):
+        as_arr = np.ctypeslib.as_array
+        self.n_jobs = int(lib.hypo_tile_njobs(h))
+        n_ext = int(lib.hypo_tile_next(h))
+        conslen = int(lib.hypo_tile_cons_len(h))
+        self.flag = as_arr(lib.hypo_tile_flag(h), (n_reg,)).copy()
+        self.cons_off = as_arr(lib.hypo_tile_cons_off(h),
+                               (n_reg + 1,)).copy()
+        self.cons_buf = (as_arr(lib.hypo_tile_cons_buf(h),
+                                (conslen,)).copy()
+                         if conslen else np.zeros(0, np.uint8))
+        nj = self.n_jobs
+        z64 = np.zeros(0, np.int64)
+        z32 = np.zeros(0, np.int32)
+        self.job_windex = (as_arr(lib.hypo_tile_job_windex(h),
+                                  (nj,)).copy() if nj else z64)
+        self.job_next = (as_arr(lib.hypo_tile_job_next(h),
+                                (nj,)).copy() if nj else z32)
+        self.job_maxlen = (as_arr(lib.hypo_tile_job_maxlen(h),
+                                  (nj,)).copy() if nj else z32)
+        self.job_ext_off = as_arr(lib.hypo_tile_job_ext_off(h),
+                                  (nj + 1,)).copy()
+        self.ext_len = (as_arr(lib.hypo_tile_ext_len(h),
+                               (n_ext,)).copy() if n_ext else z32)
+        self.ext_mode = (as_arr(lib.hypo_tile_ext_mode(h),
+                                (n_ext,)).copy() if n_ext
+                         else np.zeros(0, np.int8))
+        self.ext_w = (as_arr(lib.hypo_tile_ext_w(h),
+                             (n_ext,)).copy() if n_ext else z32)
+        self.ext_off = as_arr(lib.hypo_tile_ext_off(h),
+                              (n_ext + 1,)).copy()
+        extlen = int(self.ext_off[-1])
+        self.ext_buf = (as_arr(lib.hypo_tile_ext_buf(h),
+                               (extlen,)).copy() if extlen
+                        else np.zeros(0, np.int8))
+
+
+def tile_jobs(contig_codes: np.ndarray, reg_starts: np.ndarray,
+              wflag: np.ndarray, use_presuf: np.ndarray,
+              table, abuf: np.ndarray, aoff: np.ndarray) -> TileJobs:
+    """Native phase-A device job build for one contig."""
+    lib = _load()
+    _register_tiles(lib)
+    aln_idx, windex, qb, qe, at = table
+    n_reg = len(reg_starts) - 1
+    codes = np.ascontiguousarray(contig_codes, dtype=np.uint8)
+    rs = np.ascontiguousarray(reg_starts, dtype=np.int64)
+    wi64 = np.ascontiguousarray(windex, dtype=np.int64)
+    al64 = np.ascontiguousarray(aln_idx, dtype=np.int64)
+    qb64 = np.ascontiguousarray(qb, dtype=np.int64)
+    qe64 = np.ascontiguousarray(qe, dtype=np.int64)
+    at8 = np.ascontiguousarray(at, dtype=np.uint8)
+    h = lib.hypo_tile_jobs(
+        _ptr(codes, _u8p), _ptr(rs, _i64p), n_reg,
+        _ptr(np.ascontiguousarray(wflag, np.uint8), _u8p),
+        _ptr(np.ascontiguousarray(use_presuf, np.uint8), _u8p),
+        _ptr(wi64, _i64p), _ptr(al64, _i64p), _ptr(qb64, _i64p),
+        _ptr(qe64, _i64p), _ptr(at8, _u8p), len(wi64),
+        _ptr(np.ascontiguousarray(abuf, np.uint8), _u8p),
+        _ptr(np.ascontiguousarray(aoff, np.int64), _i64p))
+    res = TileJobs(lib, h, n_reg)
+    lib.hypo_tile_jobs_free(h)
+    return res
+
+
+_i8p_t = ctypes.POINTER(ctypes.c_int8)
+
+
+def tile_pack(order: np.ndarray, lo: int, jobs, job_th: np.ndarray,
+              B: int, K: int, A: int, L: int, ndev: int):
+    """Pack one tile from jobs order[lo:]; returns (hi, pool, plen,
+    idxt, amode, aw, narms, th, row_of)."""
+    lib = _load()
+    _register_tiles(lib)
+    pool = np.empty((A, L), np.int8)
+    plen = np.empty(A, np.int32)
+    idxt = np.empty((B, K), np.int32)
+    amode = np.empty((B, K), np.int8)
+    aw = np.empty((B, K), np.int32)
+    narms = np.empty(B, np.int32)
+    th = np.empty(B, np.int32)
+    row_of = np.empty(B, np.int32)
+    hi = lib.hypo_tile_pack(
+        _ptr(order, _i64p), lo, len(order),
+        _ptr(jobs.job_next, _i32p), _ptr(jobs.job_ext_off, _i64p),
+        _ptr(jobs.ext_len, _i32p), _ptr(jobs.ext_mode, _i8p_t),
+        _ptr(jobs.ext_w, _i32p), _ptr(jobs.ext_off, _i64p),
+        _ptr(jobs.ext_buf, _i8p_t), _ptr(job_th, _i32p),
+        B, K, A, L, ndev,
+        _ptr(pool.reshape(-1), _i8p_t), _ptr(plen, _i32p),
+        _ptr(idxt.reshape(-1), _i32p),
+        _ptr(amode.reshape(-1), _i8p_t), _ptr(aw.reshape(-1), _i32p),
+        _ptr(narms, _i32p), _ptr(th, _i32p), _ptr(row_of, _i32p))
+    return int(hi), pool, plen, idxt, amode, aw, narms, th, row_of
+
+
+def tile_finalize(packed: np.ndarray, row_of: np.ndarray, cnt: int,
+                  kind: int, outcap: int):
+    """Unpack device tile output rows into (out bytes [cnt, outcap],
+    out_len [cnt]; -1 = overflow)."""
+    lib = _load()
+    _register_tiles(lib)
+    packed = np.ascontiguousarray(packed, dtype=np.int8)
+    B, rowlen = packed.shape
+    out = np.empty((cnt, outcap), np.uint8)
+    out_len = np.empty(cnt, np.int32)
+    lib.hypo_tile_finalize(
+        _ptr(packed.reshape(-1), _i8p_t), B, rowlen,
+        _ptr(np.ascontiguousarray(row_of, np.int32), _i32p), cnt, kind,
+        _ptr(out.reshape(-1), _u8p), outcap, _ptr(out_len, _i32p))
+    return out, out_len
+
+
 def find_arms(contig, alignments: List, k: int, mk: int, is_long: bool,
               short_arm_coef: int, nthreads: int = 0):
     """Native twin of Alignment.find_short_arms / find_long_arms over

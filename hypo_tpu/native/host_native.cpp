@@ -800,3 +800,346 @@ const uint8_t* hypo_arms_type(void* h) { return ((ArmsResult*)h)->armtype.data()
 void hypo_arms_free(void* h) { delete (ArmsResult*)h; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Device tile preparation: the host side of the full-device POA runner
+// (hypo_tpu/poa/full_runner.py) without per-window Python work.
+//
+// Phase A (hypo_tile_jobs, per contig): apply the window dispatch rules
+// (reference src/Window.cpp:44-61), build each short window's marker-
+// flanked sequence list (Window.cpp:87-132: internal J..O kNW, prefix
+// J.. kLOV in reverse order, suffix ..O kROV), deduplicate identical
+// (seq, mode) arms into weighted entries, settle trivial windows
+// (single distinct NW arm => that arm is the exact consensus), and emit
+// flat job/ext arrays in GLOBAL codes (ACGTJO = 0..5).
+// Phase B (hypo_tile_pack): pack one fixed-shape tile from the sorted
+// job order — arm pool deduplicated ACROSS windows, per-window index
+// table — mirroring FullDeviceRunner._take_tile/_dispatch_tile.
+// Phase C (hypo_tile_finalize): unpack the device's nibble-packed
+// consensus rows into per-job ASCII, stripping the J/O markers.
+
+namespace {
+
+struct TileJobs {
+    std::vector<uint8_t> flag;       // per region: 0 skip, 1 direct,
+                                     // 2 device job, 3 host fallback
+    std::vector<int64_t> cons_off;   // [n_reg + 1] into cons_buf
+    std::vector<uint8_t> cons_buf;   // ASCII direct consensus
+    std::vector<int64_t> job_windex;
+    std::vector<int32_t> job_next;
+    std::vector<int32_t> job_maxlen;
+    std::vector<int64_t> job_ext_off;  // [njobs + 1]
+    std::vector<int32_t> ext_len;
+    std::vector<int8_t> ext_mode;
+    std::vector<int32_t> ext_w;
+    std::vector<int64_t> ext_off;      // [n_ext + 1] into ext_buf
+    std::vector<int8_t> ext_buf;       // GLOBAL codes 0..5
+};
+
+constexpr int8_t G_J = 4, G_O = 5;
+constexpr int M_NW = 0, M_LOV = 1, M_ROV = 2;
+const char G_ALPHA[7] = "ACGTJO";
+
+}  // namespace
+
+extern "C" {
+
+void* hypo_tile_jobs(
+    const uint8_t* ctg_codes, const int64_t* reg_starts, int64_t n_reg,
+    const uint8_t* wflag,       // [n_reg] 1 = device-eligible short win
+    const uint8_t* use_presuf,  // [n_reg]
+    const int64_t* t_windex, const int64_t* t_aln, const int64_t* t_qb,
+    const int64_t* t_qe, const uint8_t* t_type, int64_t n_rows,
+    const uint8_t* abuf, const int64_t* aoff) {
+    auto* R = new TileJobs();
+    R->flag.assign(n_reg, 0);
+    R->cons_off.assign(n_reg + 1, 0);
+    R->job_ext_off.push_back(0);
+    R->ext_off.push_back(0);
+    // group table rows per window (stable counting sort by windex
+    // keeps the (alignment, emission) add order within each window)
+    std::vector<int64_t> wcnt(n_reg + 1, 0);
+    for (int64_t r = 0; r < n_rows; ++r) ++wcnt[t_windex[r] + 1];
+    for (int64_t i = 0; i < n_reg; ++i) wcnt[i + 1] += wcnt[i];
+    std::vector<int64_t> rows(n_rows);
+    {
+        std::vector<int64_t> cur(wcnt.begin(), wcnt.end() - 1);
+        for (int64_t r = 0; r < n_rows; ++r)
+            rows[cur[t_windex[r]]++] = r;
+    }
+    std::vector<const uint8_t*> eptr;  // per-window ext scratch
+    std::vector<int32_t> elen;
+    std::vector<int8_t> emode;  // mode of entry
+    std::vector<int8_t> ehead, etail;  // marker flags per entry
+    std::vector<int32_t> ew;
+    std::vector<int64_t> draft_scratch;  // unused
+    auto emit_direct = [&](int64_t wi, const uint8_t* p, int64_t len,
+                           bool ascii_from_codes) {
+        R->flag[wi] = 1;
+        for (int64_t i = 0; i < len; ++i) {
+            uint8_t c = p[i];
+            R->cons_buf.push_back(ascii_from_codes
+                                      ? (uint8_t)"ACGTN"[c < 4 ? c : 4]
+                                      : c);
+        }
+    };
+    for (int64_t wi = 0; wi < n_reg; ++wi) {
+        R->cons_off[wi] = (int64_t)R->cons_buf.size();
+        if (!wflag[wi]) continue;
+        const int64_t r0 = wcnt[wi], r1 = wcnt[wi + 1];
+        const uint8_t* draft = ctg_codes + reg_starts[wi];
+        const int64_t dlen = reg_starts[wi + 1] - reg_starts[wi];
+        int64_t ni = 0, npre = 0, nsuf = 0, nempty = 0, n_int_rows = 0;
+        const bool presuf = use_presuf[wi] != 0;
+        for (int64_t j = r0; j < r1; ++j) {
+            const uint8_t t = t_type[rows[j]];
+            if (t == 3) ++nempty;
+            else if (t == 0) { ++ni; ++n_int_rows; }
+            else if (t == 1) { if (presuf) ++npre; }
+            else if (t == 2) { if (presuf) ++nsuf; }
+        }
+        const int64_t non_empty = ni + npre + nsuf;
+        if (nempty > non_empty) {       // deletion wins (Window.cpp:47)
+            R->flag[wi] = 1;            // empty consensus
+            continue;
+        }
+        if (non_empty < 2) {            // too little evidence -> draft
+            emit_direct(wi, draft, dlen, true);
+            continue;
+        }
+        // build the marker-flanked sequence list (order of
+        // DeviceConsensusRunner._build_job)
+        eptr.clear(); elen.clear(); emode.clear();
+        ehead.clear(); etail.clear(); ew.clear();
+        bool arms_added = false, bad = false;
+        auto push = [&](const uint8_t* p, int64_t len, int8_t mode,
+                        bool head, bool tail) {
+            // dedup against existing entries (first occurrence wins)
+            for (size_t e = 0; e < eptr.size(); ++e) {
+                if (emode[e] != mode || elen[e] != (int32_t)len ||
+                    ehead[e] != (int8_t)head || etail[e] != (int8_t)tail)
+                    continue;
+                if (std::memcmp(eptr[e], p, (size_t)len) == 0) {
+                    ++ew[e];
+                    return;
+                }
+            }
+            for (int64_t i = 0; i < len; ++i)
+                if (p[i] > 3) { bad = true; return; }
+            eptr.push_back(p); elen.push_back((int32_t)len);
+            emode.push_back(mode);
+            ehead.push_back(head); etail.push_back(tail);
+            ew.push_back(1);
+        };
+        if (n_int_rows == 0)
+            push(draft, dlen, M_NW, true, true);
+        for (int64_t j = r0; j < r1 && !bad; ++j) {
+            const int64_t r = rows[j];
+            if (t_type[r] != 0) continue;
+            const int64_t len = t_qe[r] - t_qb[r];
+            if (!len) continue;
+            push(abuf + aoff[t_aln[r]] + t_qb[r], len, M_NW, true, true);
+            arms_added = true;
+        }
+        if (presuf) {   // prefix arms in REVERSE add order
+            for (int64_t j = r1 - 1; j >= r0 && !bad; --j) {
+                const int64_t r = rows[j];
+                if (t_type[r] != 1) continue;
+                const int64_t len = t_qe[r] - t_qb[r];
+                if (!len) continue;
+                push(abuf + aoff[t_aln[r]] + t_qb[r], len, M_LOV,
+                     true, false);
+                arms_added = true;
+            }
+            for (int64_t j = r0; j < r1 && !bad; ++j) {
+                const int64_t r = rows[j];
+                if (t_type[r] != 2) continue;
+                const int64_t len = t_qe[r] - t_qb[r];
+                if (!len) continue;
+                push(abuf + aoff[t_aln[r]] + t_qb[r], len, M_ROV,
+                     false, true);
+                arms_added = true;
+            }
+        }
+        if (bad) { R->flag[wi] = 3; continue; }  // N in arm/draft
+        if (!arms_added) {
+            emit_direct(wi, draft, dlen, true);
+            continue;
+        }
+        if (eptr.size() == 1 && emode[0] == M_NW) {
+            // trivial: single distinct NW sequence IS the consensus
+            // (chain graph; markers stripped for short windows)
+            emit_direct(wi, eptr[0], elen[0], true);
+            continue;
+        }
+        // a device job
+        R->flag[wi] = 2;
+        R->job_windex.push_back(wi);
+        R->job_next.push_back((int32_t)eptr.size());
+        int32_t maxlen = 0;
+        for (size_t e = 0; e < eptr.size(); ++e) {
+            const int32_t full = elen[e] + ehead[e] + etail[e];
+            maxlen = std::max(maxlen, full);
+            if (ehead[e]) R->ext_buf.push_back(G_J);
+            for (int32_t i = 0; i < elen[e]; ++i)
+                R->ext_buf.push_back((int8_t)eptr[e][i]);
+            if (etail[e]) R->ext_buf.push_back(G_O);
+            R->ext_len.push_back(full);
+            R->ext_mode.push_back(emode[e]);
+            R->ext_w.push_back(ew[e]);
+            R->ext_off.push_back((int64_t)R->ext_buf.size());
+        }
+        R->job_maxlen.push_back(maxlen);
+        R->job_ext_off.push_back((int64_t)R->ext_len.size());
+    }
+    R->cons_off[n_reg] = (int64_t)R->cons_buf.size();
+    return R;
+}
+
+int64_t hypo_tile_njobs(void* h) {
+    return (int64_t)((TileJobs*)h)->job_windex.size();
+}
+int64_t hypo_tile_next(void* h) {
+    return (int64_t)((TileJobs*)h)->ext_len.size();
+}
+int64_t hypo_tile_cons_len(void* h) {
+    return (int64_t)((TileJobs*)h)->cons_buf.size();
+}
+const uint8_t* hypo_tile_flag(void* h) { return ((TileJobs*)h)->flag.data(); }
+const int64_t* hypo_tile_cons_off(void* h) { return ((TileJobs*)h)->cons_off.data(); }
+const uint8_t* hypo_tile_cons_buf(void* h) { return ((TileJobs*)h)->cons_buf.data(); }
+const int64_t* hypo_tile_job_windex(void* h) { return ((TileJobs*)h)->job_windex.data(); }
+const int32_t* hypo_tile_job_next(void* h) { return ((TileJobs*)h)->job_next.data(); }
+const int32_t* hypo_tile_job_maxlen(void* h) { return ((TileJobs*)h)->job_maxlen.data(); }
+const int64_t* hypo_tile_job_ext_off(void* h) { return ((TileJobs*)h)->job_ext_off.data(); }
+const int32_t* hypo_tile_ext_len(void* h) { return ((TileJobs*)h)->ext_len.data(); }
+const int8_t* hypo_tile_ext_mode(void* h) { return ((TileJobs*)h)->ext_mode.data(); }
+const int32_t* hypo_tile_ext_w(void* h) { return ((TileJobs*)h)->ext_w.data(); }
+const int64_t* hypo_tile_ext_off(void* h) { return ((TileJobs*)h)->ext_off.data(); }
+const int8_t* hypo_tile_ext_buf(void* h) { return ((TileJobs*)h)->ext_buf.data(); }
+void hypo_tile_jobs_free(void* h) { delete (TileJobs*)h; }
+
+// Pack one tile from jobs order[lo:] (already sorted by
+// (-n_ext, -maxlen) within the class).  Mirrors _take_tile +
+// _dispatch_tile: take jobs while the window count < B and the
+// deduplicated arm pool fits A.  Returns hi.  Outputs must be sized
+// pool [A*L] (zeroed here), plen [A], idxt [B*K] (-1 filled), amode
+// [B*K], aw [B*K], narms [B], th_out [B], row_of [<=B].
+int64_t hypo_tile_pack(
+    const int64_t* order, int64_t lo, int64_t njobs,
+    const int32_t* job_next, const int64_t* job_ext_off,
+    const int32_t* ext_len, const int8_t* ext_mode, const int32_t* ext_w,
+    const int64_t* ext_off, const int8_t* ext_buf,
+    const int32_t* job_th,
+    int B, int K, int64_t A, int L, int ndev,
+    int8_t* pool, int32_t* plen, int32_t* idxt, int8_t* amode,
+    int32_t* aw, int32_t* narms, int32_t* th_out, int32_t* row_of) {
+    std::memset(pool, 0, (size_t)(A * L));
+    std::memset(plen, 0, sizeof(int32_t) * (size_t)A);
+    for (int64_t i = 0; i < (int64_t)B * K; ++i) idxt[i] = -1;
+    std::memset(amode, 0, (size_t)B * K);
+    std::memset(aw, 0, sizeof(int32_t) * (size_t)B * K);
+    std::memset(narms, 0, sizeof(int32_t) * B);
+    std::memset(th_out, 0, sizeof(int32_t) * B);
+    // arm-pool dedup across windows: open-addressing hash of
+    // (len, bytes) -> pool row
+    const size_t hsize = 4 * (size_t)A;
+    std::vector<int32_t> htab(hsize, -1);
+    auto hashof = [&](const int8_t* p, int32_t len) -> uint64_t {
+        uint64_t hv = 1469598103934665603ULL ^ (uint64_t)len;
+        for (int32_t i = 0; i < len; ++i)
+            hv = (hv ^ (uint8_t)p[i]) * 1099511628211ULL;
+        return hv;
+    };
+    int64_t pool_used = 0;
+    int64_t hi = lo;
+    const int blk = ndev > 1 ? B / ndev : B;
+    while (hi < njobs && hi - lo < B) {
+        const int64_t j = order[hi];
+        // count NEW pool entries this job needs
+        int64_t need = 0;
+        for (int64_t e = job_ext_off[j]; e < job_ext_off[j + 1]; ++e) {
+            const int8_t* p = ext_buf + ext_off[e];
+            const int32_t len = ext_len[e];
+            uint64_t hv = hashof(p, len) % hsize;
+            bool found = false;
+            while (htab[hv] >= 0) {
+                const int32_t row = htab[hv];
+                if (plen[row] == len &&
+                    std::memcmp(pool + (int64_t)row * L, p,
+                                (size_t)len) == 0) {
+                    found = true;
+                    break;
+                }
+                hv = (hv + 1) % hsize;
+            }
+            if (!found) ++need;
+        }
+        if (pool_used + need > A) break;
+        // commit: insert new pool rows + fill the window row
+        const int64_t t = hi - lo;
+        const int b = ndev > 1 ? (int)((t % ndev) * blk + t / ndev)
+                               : (int)t;
+        row_of[t] = b;
+        narms[b] = job_next[j];
+        th_out[b] = job_th[j];
+        int kk = 0;
+        for (int64_t e = job_ext_off[j]; e < job_ext_off[j + 1];
+             ++e, ++kk) {
+            const int8_t* p = ext_buf + ext_off[e];
+            const int32_t len = ext_len[e];
+            uint64_t hv = hashof(p, len) % hsize;
+            int32_t row = -1;
+            while (htab[hv] >= 0) {
+                const int32_t r2 = htab[hv];
+                if (plen[r2] == len &&
+                    std::memcmp(pool + (int64_t)r2 * L, p,
+                                (size_t)len) == 0) {
+                    row = r2;
+                    break;
+                }
+                hv = (hv + 1) % hsize;
+            }
+            if (row < 0) {
+                row = (int32_t)pool_used++;
+                std::memcpy(pool + (int64_t)row * L, p, (size_t)len);
+                plen[row] = len;
+                htab[hv] = row;
+            }
+            idxt[(int64_t)b * K + kk] = row;
+            amode[(int64_t)b * K + kk] = ext_mode[e];
+            aw[(int64_t)b * K + kk] = ext_w[e];
+        }
+        ++hi;
+    }
+    return hi;
+}
+
+// Unpack the device tile output (nibble-packed consensus rows, layout
+// of device_full._finish_packed) into per-job ASCII.  kind 0 = short
+// (strip the J/O marker columns).  out is [cnt * outcap]; out_len[t]
+// = -1 flags a capacity overflow row (host fallback).
+void hypo_tile_finalize(
+    const int8_t* packed, int B, int rowlen,
+    const int32_t* row_of, int64_t cnt, int kind,
+    uint8_t* out, int64_t outcap, int32_t* out_len) {
+    const int half = rowlen - 4;
+    for (int64_t t = 0; t < cnt; ++t) {
+        const int8_t* row = packed + (int64_t)row_of[t] * rowlen;
+        const int ovf = row[half + 2];
+        if (ovf) { out_len[t] = -1; continue; }
+        int clen = (uint8_t)row[half] | ((uint8_t)row[half + 1] << 8);
+        uint8_t* dst = out + t * outcap;
+        int o = 0;
+        const int beg = (kind == 0) ? 1 : 0;
+        const int end = (kind == 0) ? clen - 1 : clen;
+        for (int i = beg; i < end && o < outcap; ++i) {
+            const uint8_t nib = (i & 1) ? ((uint8_t)row[i >> 1] >> 4)
+                                        : ((uint8_t)row[i >> 1] & 0xF);
+            dst[o++] = (uint8_t)G_ALPHA[nib < 6 ? nib : 0];
+        }
+        out_len[t] = o;
+    }
+}
+
+}  // extern "C"

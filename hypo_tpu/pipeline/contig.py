@@ -158,6 +158,40 @@ class Contig:
             else:
                 w.add_internal(codes)
 
+    def add_arm_table_counts(self, table) -> None:
+        """Counters-only twin of add_arm_table for the device fast path:
+        updates every window's arm counters and longest-pre/suf lengths
+        from the native arm table WITHOUT materializing per-window arm
+        arrays (the device tile builder reads arms straight from the
+        flat table, hypo_tpu.native.host_api.tile_jobs).  Only valid for
+        the SHORT pass — long pseudo-windows apply the per-arm filter
+        and must go through add_arm_table."""
+        _aln_idx, windex, qb, qe, armtype = table
+        nreg = len(self.windows)
+        live = np.fromiter((w is not None for w in self.windows),
+                           dtype=bool, count=nreg)
+        m = live[windex]
+        wx = np.asarray(windex)[m]
+        t = np.asarray(armtype)[m]
+        ln = (np.asarray(qe) - np.asarray(qb))[m]
+        ni = np.bincount(wx[t == 0], minlength=nreg)
+        npre = np.bincount(wx[t == 1], minlength=nreg)
+        nsuf = np.bincount(wx[t == 2], minlength=nreg)
+        nemp = np.bincount(wx[t == 3], minlength=nreg)
+        lp = np.zeros(nreg, np.int64)
+        np.maximum.at(lp, wx[t == 1], ln[t == 1])
+        ls = np.zeros(nreg, np.int64)
+        np.maximum.at(ls, wx[t == 2], ln[t == 2])
+        for i, w in enumerate(self.windows):
+            if w is None:
+                continue
+            w.num_internal += int(ni[i])
+            w.num_pre += int(npre[i])
+            w.num_suf += int(nsuf[i])
+            w.num_empty += int(nemp[i])
+            w.longest_pre_len = max(w.longest_pre_len, int(lp[i]))
+            w.longest_suf_len = max(w.longest_suf_len, int(ls[i]))
+
     def fill_short_windows(self, alignments) -> None:
         for aln in alignments:
             aln.add_arms(self)

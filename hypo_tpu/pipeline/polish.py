@@ -337,6 +337,12 @@ class Polisher:
         mon.stop("[hypo_tpu] Window division. ")
 
         from ..config import ARMS_SETTINGS, MINIMIZER_SETTINGS as MS2
+        # device fast path: window consensus reads arms straight from
+        # the flat native arm table (no per-window Python arm lists)
+        fast_tiles = (native_host and self.device_runner is not None
+                      and hasattr(self.device_runner,
+                                  "supports_native_tiles")
+                      and self.device_runner.supports_native_tiles())
         mon.start()
         arm_tables: Dict[int, tuple] = {}
         for cid in range(lo, hi):
@@ -345,6 +351,10 @@ class Polisher:
                 arm_tables[cid] = host_api.find_arms(
                     ctg, store[cid], f.k, MS2.k, False,
                     ARMS_SETTINGS.short_arm_coef, f.threads)
+                if fast_tiles:
+                    buf, off, _rb, _re = host_api._pack_alignments(
+                        store[cid])
+                    ctg._device_arm_data = (arm_tables[cid], buf, off)
             else:
                 for aln in store[cid]:
                     aln.find_short_arms(f.k, ctg)
@@ -354,7 +364,10 @@ class Polisher:
 
         mon.start()
         for cid in range(lo, hi):
-            if native_host:
+            if fast_tiles:
+                self.contigs[cid].add_arm_table_counts(arm_tables.pop(cid))
+                self.contigs[cid].fill_short_windows([])
+            elif native_host:
                 self.contigs[cid].add_arm_table(store[cid],
                                                 arm_tables.pop(cid))
                 self.contigs[cid].fill_short_windows([])
@@ -392,16 +405,26 @@ class Polisher:
 
         mon.start()
         nwin = 0
-        all_windows = [w for cid in range(lo, hi)
-                       for w in self.contigs[cid].windows
-                       if w is not None]
-        if self.device_runner is not None:
-            nwin += self.device_runner.run_windows(all_windows)
+        if fast_tiles:
+            nwin += self.device_runner.run_polish_batch(
+                self.contigs[lo:hi])
+            for cid in range(lo, hi):
+                ctg = self.contigs[cid]
+                ctg._device_arm_data = None
+                for w in ctg.windows:
+                    if w is not None:
+                        w.clear_arms()
         else:
-            nwin += engine.generate_consensus_batch(all_windows,
-                                                    f.threads)
-        for w in all_windows:
-            w.clear_arms()  # cap RSS: arms are dead once consensus is set
+            all_windows = [w for cid in range(lo, hi)
+                           for w in self.contigs[cid].windows
+                           if w is not None]
+            if self.device_runner is not None:
+                nwin += self.device_runner.run_windows(all_windows)
+            else:
+                nwin += engine.generate_consensus_batch(all_windows,
+                                                        f.threads)
+            for w in all_windows:
+                w.clear_arms()  # arms are dead once consensus is set
         mon.stop(f"[hypo_tpu] POA over {nwin} windows. ")
 
         if f.inspect:

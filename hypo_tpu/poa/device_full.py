@@ -245,7 +245,7 @@ def _dp(node_code_r, pred_rows, pred_cnt_r, is_end_r, n_nodes, arm,
 
 
 def _traceback_matched_batch(bp, pred_rows, arm_len, mode, max_row, *,
-                             N, L, P):
+                             active=None, N, L, P):
     """Walk backpointers for the whole batch in lockstep; returns
     matched [B, L]: the rank of the graph node arm base j aligned to,
     or -1 (insertion / unaligned head).
@@ -293,9 +293,12 @@ def _traceback_matched_batch(bp, pred_rows, arm_len, mode, max_row, *,
 
     ej0 = jnp.full((B, S), L, jnp.int32)
     er0 = jnp.full((B, S), -1, jnp.int32)
+    stopped0 = stop_of(max_row, arm_len)
+    if active is not None:
+        stopped0 = stopped0 | ~active
     _i, _j, _t, _s, ej, er = jax.lax.while_loop(
-        cond, body, (max_row, arm_len, jnp.int32(0),
-                     stop_of(max_row, arm_len), ej0, er0))
+        cond, body, (max_row, arm_len, jnp.int32(0), stopped0,
+                     ej0, er0))
     # matched[b, l] = er recorded at the step that emitted j = l (each l
     # is emitted at most once; -1 default matches the insertion value)
     hit = ej[:, :, None] == jnp.arange(L, dtype=jnp.int32)[None, None, :]
@@ -433,19 +436,34 @@ def _arm_step_batch(st: PoaState, arm, arm_len, mode, active, w=None, *,
     st leaves carry a leading batch dim B; arm [B, L]; arm_len, mode,
     active [B]."""
     ra = _rank_arrays_batch(st, N)
+    # windows that are done with their arms (or empty this round) are
+    # masked out of the DP (n_nodes -> 0 skips their rows via the
+    # kernel's per-block row bound) and start the traceback already
+    # stopped — without this, a tile mixing high- and low-arm-count
+    # windows pays full-batch DP/traceback on every extra arm step
+    act = active & (arm_len > 0) & (st.n_nodes > 0)
+    nn_eff = jnp.where(act, st.n_nodes, 0)
     if dp_impl in ("pallas", "pallas_interpret"):
         from .pallas_poa import poa_dp_batch_pallas
         bp, max_row = poa_dp_batch_pallas(
             ra.node_code_r, ra.pred_rows, ra.pred_cnt_r, ra.is_end_r,
-            st.n_nodes, arm, arm_len, mode, N=N, L=L, P=P, m=m, n=n,
+            nn_eff, arm, arm_len, mode, N=N, L=L, P=P, m=m, n=n,
             g=g, interpret=(dp_impl == "pallas_interpret"))
     else:
         bp, max_row = jax.vmap(functools.partial(
             _dp, N=N, L=L, P=P, m=m, n=n, g=g))(
                 ra.node_code_r, ra.pred_rows, ra.pred_cnt_r,
-                ra.is_end_r, st.n_nodes, arm, arm_len, mode)
-    matched = _traceback_matched_batch(
-        bp, ra.pred_rows, arm_len, mode, max_row, N=N, L=L, P=P)
+                ra.is_end_r, nn_eff, arm, arm_len, mode)
+    # empty graphs (the first arm round of a tile) need no traceback:
+    # everything is an insertion.  The batched walk is a ~N+L-step
+    # sequential loop, so skip it entirely when no window needs it
+    B = st.n_nodes.shape[0]
+    matched = jax.lax.cond(
+        ~jnp.any(act),
+        lambda: jnp.full((B, L), -1, jnp.int32),
+        lambda: _traceback_matched_batch(
+            bp, ra.pred_rows, arm_len, mode, max_row, active=act,
+            N=N, L=L, P=P))
     # empty graph (first sequence): everything is an insertion
     matched = jnp.where((st.n_nodes == 0)[:, None], -1, matched)
     if w is None:

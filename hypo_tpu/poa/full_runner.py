@@ -106,14 +106,26 @@ class FullDeviceRunner(DeviceConsensusRunner):
     # -- program warm-up ----------------------------------------------------
     def warm(self, classes=(0,), wait: bool = False):
         """Compile/load the tile program(s) in a background thread so
-        the (10-30 s cold / ~5 s cached) executable build overlaps the
-        pipeline's host-side stages.  Returns the thread."""
+        the (10-30 s cold / ~2 s cached) executable build overlaps the
+        pipeline's host-side stages.  The program is INVOKED once on a
+        zero tile — jax.jit compiles (or loads from the persistent
+        cache) only at the first call, so merely building the callable
+        would leave the multi-second load inside the first real
+        dispatch.  Returns the thread."""
         import threading
 
         def _build():
             for ci in classes:
                 try:
-                    self._program(ci, self.short_scores)
+                    fn = self._program(ci, self.short_scores)
+                    L, N, K, B, A = self._class_shape(ci)
+                    import jax
+                    jax.block_until_ready(fn(
+                        np.zeros((A, L), np.int8), np.zeros(A, np.int32),
+                        np.full((B, K), -1, np.int32),
+                        np.zeros((B, K), np.int8),
+                        np.zeros((B, K), np.int32), np.zeros(B, np.int32),
+                        np.zeros(B, np.int32)))
                 except Exception:
                     pass
 
@@ -276,6 +288,191 @@ class FullDeviceRunner(DeviceConsensusRunner):
             active = nxt
             wave += 1
         return count
+
+    # -- native tile fast path ---------------------------------------------
+    # The host side of the device engine without per-window Python work:
+    # job building / dedup / trivial settling, tile packing, and output
+    # unpacking all run in C (hypo_tile_jobs/_pack/_finalize in
+    # host_native.cpp); Python only orchestrates dispatches and assigns
+    # the finished consensus strings.  Requires contigs prepared with
+    # counters-only window fill (Contig.add_arm_table_counts) carrying
+    # ``_device_arm_data = (table, abuf, aoff)``.
+
+    @staticmethod
+    def supports_native_tiles() -> bool:
+        import os
+        from ..native import host_api
+        return (host_api.available()
+                and not os.environ.get("HYPO_DEVICE_LONG"))
+
+    def run_polish_batch(self, contigs) -> int:
+        import os
+        import time
+        from ..native import host_api
+        debug = bool(os.environ.get("HYPO_POA_DEBUG"))
+        t0 = time.time()
+        count = 0
+        host_windows = []          # LONG windows (host engine, as-is)
+        fallback = []              # (ctg, wi) needing arm materialization
+        merged: List[host_api.TileJobs] = []
+        job_refs: List = []        # Window object per merged job
+        for ctg in contigs:
+            table, abuf, aoff = ctg._device_arm_data
+            windows = ctg.windows
+            n_reg = len(ctg.reg_starts) - 1
+            wflag = np.zeros(n_reg, np.uint8)
+            presuf = np.zeros(n_reg, np.uint8)
+            for i in range(n_reg):
+                w = windows[i]
+                if w is None:
+                    continue
+                count += 1
+                if w.wtype != 0:
+                    host_windows.append(w)
+                    continue
+                wflag[i] = 1
+                presuf[i] = 1 if (w.num_pre > 0 or w.num_suf > 0) else 0
+            jobs = host_api.tile_jobs(ctg.codes, ctg.reg_starts, wflag,
+                                      presuf, table, abuf, aoff)
+            # direct consensus (dispatch rules + trivial windows)
+            consbuf = jobs.cons_buf.tobytes().decode("latin1")
+            direct = np.nonzero(jobs.flag == 1)[0]
+            off = jobs.cons_off
+            for i in direct:
+                windows[i].consensus = consbuf[off[i]:off[i + 1]]
+            self.stats["trivial_windows"] += len(direct)
+            for i in np.nonzero(jobs.flag == 3)[0]:
+                fallback.append((ctg, int(i)))
+            for j in range(jobs.n_jobs):
+                job_refs.append((ctg, int(jobs.job_windex[j])))
+            merged.append(jobs)
+        nj = sum(j.n_jobs for j in merged)
+        if debug:
+            print(f"[poa] native jobs: {time.time()-t0:.2f}s "
+                  f"({nj} jobs, {len(host_windows)} host long, "
+                  f"{len(fallback)} pre-fallbacks)", flush=True)
+        t0 = time.time()
+        handles = []
+        if nj:
+            jobs = self._merge_jobs(merged)
+            job_th = np.zeros(nj, np.int32)   # short windows: keep all
+            need_n = np.maximum(2 * jobs.job_maxlen,
+                                jobs.job_maxlen + 32)
+            cls = np.full(nj, -1, np.int64)
+            for ci, (L, N, K, _B, _A) in enumerate(CLASSES):
+                ok = ((cls < 0) & (jobs.job_maxlen <= L)
+                      & (need_n <= N) & (jobs.job_next <= K))
+                cls[ok] = ci
+            for j in np.nonzero(cls < 0)[0]:
+                fallback.append(job_refs[j])
+            for ci in range(len(CLASSES)):
+                idx = np.nonzero(cls == ci)[0]
+                if not len(idx):
+                    continue
+                order = idx[np.lexsort((-jobs.job_maxlen[idx],
+                                        -jobs.job_next[idx]))]
+                order = np.ascontiguousarray(order, np.int64)
+                L, N, K, B, A = self._class_shape(ci)
+                tile_fn = self._program(ci, self.short_scores)
+                lo = 0
+                while lo < len(order):
+                    hi, pool, plen, idxt, amode, aw, narms, th, row_of \
+                        = host_api.tile_pack(order, lo, jobs, job_th,
+                                             B, K, A, L, self.ndev)
+                    handle = tile_fn(pool, plen, idxt, amode, aw,
+                                     narms, th)
+                    handles.append((handle, order, lo, hi, row_of, ci))
+                    self.stats["full_dispatches"] += 1
+                    self.stats["full_windows"] += hi - lo
+                    lo = hi
+        if debug:
+            print(f"[poa] pack+dispatch: {time.time()-t0:.2f}s "
+                  f"({len(handles)} tiles)", flush=True)
+        t0 = time.time()
+        if handles:
+            import jax
+            jax.block_until_ready(handles[-1][0])
+        for handle, order, lo, hi, row_of, ci in handles:
+            packed = np.asarray(handle)
+            cnt = hi - lo
+            _L, N, _K, _B, _A = self._class_shape(ci)
+            out, out_len = host_api.tile_finalize(
+                packed, row_of[:cnt], cnt, 0, N)
+            for t in range(cnt):
+                ctg, wi = job_refs[order[lo + t]]
+                if out_len[t] < 0:
+                    self.stats["full_overflows"] += 1
+                    fallback.append((ctg, wi))
+                else:
+                    ctg.windows[wi].consensus = \
+                        out[t, :out_len[t]].tobytes().decode("latin1")
+        if debug:
+            print(f"[poa] readback+finalize: {time.time()-t0:.2f}s "
+                  f"stats={self.stats}", flush=True)
+        # host-engine leftovers: LONG windows (arms already
+        # materialized) + fallbacks (arms rebuilt from the flat table)
+        for ctg, wi in fallback:
+            self._materialize_arms(ctg, wi)
+            host_windows.append(ctg.windows[wi])
+        if host_windows:
+            self.stats["host_long_windows"] += len(host_windows)
+            self.host_engine.generate_consensus_batch(host_windows,
+                                                      self.threads)
+        return count
+
+    def _merge_jobs(self, parts):
+        """Concatenate per-contig TileJobs into one flat job store,
+        shifting the ext offsets; also tags each window with its
+        (contig, region) for fallback materialization."""
+        from ..native import host_api
+        if len(parts) == 1:
+            return parts[0]
+        out = host_api.TileJobs.__new__(host_api.TileJobs)
+        out.n_jobs = sum(p.n_jobs for p in parts)
+        out.job_next = np.concatenate([p.job_next for p in parts])
+        out.job_maxlen = np.concatenate([p.job_maxlen for p in parts])
+        eo = [parts[0].job_ext_off]
+        base = parts[0].job_ext_off[-1]
+        for p in parts[1:]:
+            eo.append(p.job_ext_off[1:] + base)
+            base += p.job_ext_off[-1]
+        out.job_ext_off = np.concatenate(eo)
+        out.ext_len = np.concatenate([p.ext_len for p in parts])
+        out.ext_mode = np.concatenate([p.ext_mode for p in parts])
+        out.ext_w = np.concatenate([p.ext_w for p in parts])
+        xo = [parts[0].ext_off]
+        base = parts[0].ext_off[-1]
+        for p in parts[1:]:
+            xo.append(p.ext_off[1:] + base)
+            base += p.ext_off[-1]
+        out.ext_off = np.concatenate(xo)
+        out.ext_buf = np.concatenate([p.ext_buf for p in parts])
+        return out
+
+    @staticmethod
+    def _materialize_arms(ctg, wi: int) -> None:
+        """Rebuild one window's Python arm lists from the flat table
+        (device fast path keeps arms unmaterialized) so the host engine
+        can polish it.  Respects clear_pre_suf (num_pre/num_suf == 0)."""
+        w = ctg.windows[wi]
+        if w.internal_arms or w.pre_arms or w.suf_arms:
+            return  # already materialized
+        table, abuf, aoff = ctg._device_arm_data
+        aln_idx, windex, qb, qe, at = table
+        idx = np.nonzero(np.asarray(windex) == wi)[0]
+        keep_presuf = w.num_pre > 0 or w.num_suf > 0
+        for r in idx:
+            t = at[r]
+            if t == 3:
+                continue
+            codes = abuf[aoff[aln_idx[r]] + qb[r]:
+                         aoff[aln_idx[r]] + qe[r]]
+            if t == 0:
+                w.internal_arms.append(codes)
+            elif t == 1 and keep_presuf:
+                w.pre_arms.append(codes)
+            elif t == 2 and keep_presuf:
+                w.suf_arms.append(codes)
 
     def _take_tile(self, grp: List[_Job], lo: int, ci: int):
         """Take as many jobs from grp[lo:] as fit one tile's window and

@@ -52,26 +52,35 @@ def _build_kernel(N: int, L: int, P: int, TW: int, m: int, n: int,
     LP = _round_up(L + 2, 128)  # lane LP-1 is never a real arm base
 
     def kernel(pred_ref, code_ref, cnt_ref, elig_ref, meta_ref,
-               armx_ref, atsel_ref, bp_ref, best_ref, H, Hp, bestv,
-               prof):
+               armx_ref, atsel_ref, bp_ref, best_ref, H, Hp,
+               bestv):
         jj = jax.lax.broadcasted_iota(jnp.int32, (TW, LP), 1)
         jjg = jj * g
-        H[:, 0, :] = jnp.where(jj <= L, jjg, NEG)
-        H[:, N + 1, :] = jnp.full((TW, LP), NEG, jnp.int32)
+        # H is laid out [N+2, TW, LP] so the common chain-gather and the
+        # per-row store are single contiguous [TW, LP] slab copies
+        H[0, :, :] = jnp.where(jj <= L, jjg, NEG)
+        H[N + 1, :, :] = jnp.full((TW, LP), NEG, jnp.int32)
         rov = jnp.stack([meta_ref[w, 0] for w in range(TW)])  # [TW]
         nmax = meta_ref[0, 1]          # block-max graph size
         for w in range(1, TW):
             nmax = jnp.maximum(nmax, meta_ref[w, 1])
         atsel = atsel_ref[:, :]  # [TW, LP] 1 only at lane arm_len[w]
         bestv[:, :] = jnp.full((TW, LP), -(2 ** 30), jnp.int32)
-        negrow = jnp.full((TW, LP), NEG, jnp.int32)
+        # pre-fill all pred slabs once; the row loop keeps the invariant
+        # "slabs >= hi_water are NEG" (hi_water = this row's gather
+        # width), so per-row neg-filling only has to cover slabs the
+        # PREVIOUS rows dirtied — almost always zero slabs — instead of
+        # all P - mp slabs every row.
+        for p in range(P):
+            Hp[p, :, :] = jnp.full((TW, LP), NEG, jnp.int32)
 
-        def row_step(r, carry):
-            # match/mismatch profile for this row, in-kernel
-            for w in range(TW):
-                code = code_ref[w, r] + 8
-                prof[w, :] = jnp.where(armx_ref[w, :] == code,
-                                       jnp.int32(m), jnp.int32(n))
+        def row_step(r, hi_water):
+            # match/mismatch profile for this row: one vectorized
+            # compare against the per-window node codes (scalar SMEM
+            # reads broadcast to a [TW] vector)
+            codev = jnp.stack([code_ref[w, r] for w in range(TW)])
+            profv = jnp.where(armx_ref[:, :] == (codev + 8)[:, None],
+                              jnp.int32(m), jnp.int32(n))
             # predecessor row gathers, bounded by the block's real
             # pred count; chain rows collapse to one slab copy
             mp = cnt_ref[0, r]
@@ -84,83 +93,124 @@ def _build_kernel(N: int, L: int, P: int, TW: int, m: int, n: int,
 
             @pl.when(chain)
             def gather_chain():
-                Hp[0, :, :] = H[:, r, :]
+                Hp[0, :, :] = H[r, :, :]
 
             @pl.when(jnp.logical_not(chain))
             def gather_slow():
                 def one_pred(p, _):
                     for w in range(TW):
                         idx = pred_ref[w, r * P + p]
-                        Hp[p, w, :] = H[w, idx, :]
+                        Hp[p, w, :] = H[idx, w, :]
                     return 0
                 jax.lax.fori_loop(0, mp, one_pred, 0)
-
-            def neg_fill(p, _):
-                Hp[p, :, :] = negrow
-                return 0
-            jax.lax.fori_loop(jnp.where(chain, 1, mp), P, neg_fill, 0)
-
-            profv = prof[:, :]
-            Hpm = Hp[:, :, :]
-            shifted = pltpu.roll(Hpm, 1, 2)
-            first3 = jax.lax.broadcasted_iota(
-                jnp.int32, (P, TW, LP), 2) == 0
-            diag = jnp.where(first3, NEG, shifted) + profv[None, :, :]
-            vert = Hpm + g
-            dv = jnp.maximum(diag, vert)
-            tmp = dv[0]
-            for p in range(1, P):
-                tmp = jnp.maximum(tmp, dv[p])
-            c0 = Hpm[0, :, 0]
-            for p in range(1, P):
-                c0 = jnp.maximum(c0, Hpm[p, :, 0])
-            col0 = jnp.where(rov == 1, 0, c0 + g)  # [TW]
             first2 = jax.lax.broadcasted_iota(
                 jnp.int32, (TW, LP), 1) == 0
-            val = jnp.where(first2, col0[:, None], tmp)
-            run = val - jjg
-            step = 1
-            while step < LP:
-                sh = pltpu.roll(run, step, 1)
-                mask = jax.lax.broadcasted_iota(
-                    jnp.int32, (TW, LP), 1) >= step
-                run = jnp.maximum(run, jnp.where(mask, sh, NEG))
-                step *= 2
-            row = run + jjg
-            H[:, r + 1, :] = row
-            # backpointers: priority diag p0.. < vert p0.. < horiz,
-            # first hit wins (assign from lowest priority upward)
-            bp = jnp.full((TW, LP), 2 * P, dtype=jnp.int32)
-            for p in range(P - 1, -1, -1):
-                bp = jnp.where(vert[p] == row, P + p, bp)
-            for p in range(P - 1, -1, -1):
-                bp = jnp.where(diag[p] == row, p, bp)
-            if P > 1:
-                bp0 = jnp.full((TW,), P, dtype=jnp.int32)
+            iotal = jax.lax.broadcasted_iota(jnp.int32, (TW, LP), 1)
+
+            def scan_row(val):
+                run = val - jjg
+                step = 1
+                while step < LP:
+                    sh = pltpu.roll(run, step, 1)
+                    run = jnp.maximum(run,
+                                      jnp.where(iotal >= step, sh, NEG))
+                    step *= 2
+                return run + jjg
+
+            # fast path: every window's row has ONE predecessor (the
+            # overwhelmingly common case for POA graphs of near-identical
+            # arms) — all slab-1..P-1 work vanishes, fully unrolled.
+            # Slabs >= mp are never read here: per-window invalid pred
+            # slots (p < mp but p >= cnt_w) point at the permanent NEG
+            # row N+1, so no neg-fill is needed, and NEG rows can never
+            # win a backpointer tie (reachable cell values are bounded
+            # far above NEG+match).
+            @pl.when(mp == 1)
+            def single_pred():
+                Hpp = Hp[0, :, :]
+                shifted = pltpu.roll(Hpp, 1, 1)
+                diag = jnp.where(first2, NEG, shifted) + profv
+                vert = Hpp + g
+                col0 = jnp.where(rov == 1, 0, Hpp[:, 0] + g)   # [TW]
+                val = jnp.where(first2, col0[:, None],
+                                jnp.maximum(diag, vert))
+                row = scan_row(val)
+                H[r + 1, :, :] = row
+                bp = jnp.full((TW, LP), 2 * P, dtype=jnp.int32)
+                bp = jnp.where(vert == row, P, bp)
+                bp = jnp.where(diag == row, 0, bp)
+                if P > 1:
+                    bp0 = jnp.where(Hpp[:, 0] + g == col0, P + 0, P)
+                else:
+                    bp0 = jnp.full((TW,), P, dtype=jnp.int32)
+                bp = jnp.where(first2, bp0[:, None], bp)
+                bp_ref[:, r, :] = bp
+                elig = jnp.stack([elig_ref[w, r] for w in range(TW)])
+                masked = jnp.where(
+                    atsel == 1,
+                    jnp.where(elig[:, None] == 1, row, NEG), -(2 ** 18))
+                bestv[:, :] = jnp.maximum(bestv[:, :],
+                                          masked * 2048 + (N - r))
+
+            @pl.when(mp > 1)
+            def multi_pred():
+                def neg_fill(p, _):
+                    Hp[p, :, :] = jnp.full((TW, LP), NEG, jnp.int32)
+                    return 0
+                # only slabs dirtied by earlier rows need re-NEGing
+                jax.lax.fori_loop(mp, hi_water, neg_fill, 0)
+                Hpm = Hp[:, :, :]
+                shifted = pltpu.roll(Hpm, 1, 2)
+                first3 = jax.lax.broadcasted_iota(
+                    jnp.int32, (P, TW, LP), 2) == 0
+                diag = (jnp.where(first3, NEG, shifted)
+                        + profv[None, :, :])
+                vert = Hpm + g
+                dv = jnp.maximum(diag, vert)
+                tmp = dv[0]
+                for p in range(1, P):
+                    tmp = jnp.maximum(tmp, dv[p])
+                c0 = Hpm[0, :, 0]
+                for p in range(1, P):
+                    c0 = jnp.maximum(c0, Hpm[p, :, 0])
+                col0 = jnp.where(rov == 1, 0, c0 + g)  # [TW]
+                val = jnp.where(first2, col0[:, None], tmp)
+                row = scan_row(val)
+                H[r + 1, :, :] = row
+                # backpointers: priority diag p0.. < vert p0.. < horiz,
+                # first hit wins (assign from lowest priority upward)
+                bp = jnp.full((TW, LP), 2 * P, dtype=jnp.int32)
                 for p in range(P - 1, -1, -1):
-                    bp0 = jnp.where(Hpm[p, :, 0] + g == col0, P + p, bp0)
-            else:
-                bp0 = jnp.full((TW,), P, dtype=jnp.int32)
-            bp = jnp.where(first2, bp0[:, None], bp)
-            bp_ref[:, r, :] = bp
-            # online first-argmax of masked H[r+1, arm_len], fully
-            # vectorized: encode (masked score, N - r) in one int so a
-            # plain running max reproduces jax_poa's argmax tie rule
-            # (first maximum wins)
-            elig = jnp.stack([elig_ref[w, r] for w in range(TW)])
-            masked = jnp.where(atsel == 1,
-                               jnp.where(elig[:, None] == 1, row, NEG),
-                               -(2 ** 18))
-            enc = masked * 2048 + (N - r)
-            bestv[:, :] = jnp.maximum(bestv[:, :], enc)
-            return carry
+                    bp = jnp.where(vert[p] == row, P + p, bp)
+                for p in range(P - 1, -1, -1):
+                    bp = jnp.where(diag[p] == row, p, bp)
+                if P > 1:
+                    bp0 = jnp.full((TW,), P, dtype=jnp.int32)
+                    for p in range(P - 1, -1, -1):
+                        bp0 = jnp.where(Hpm[p, :, 0] + g == col0,
+                                        P + p, bp0)
+                else:
+                    bp0 = jnp.full((TW,), P, dtype=jnp.int32)
+                bp = jnp.where(first2, bp0[:, None], bp)
+                bp_ref[:, r, :] = bp
+                elig = jnp.stack([elig_ref[w, r] for w in range(TW)])
+                masked = jnp.where(
+                    atsel == 1,
+                    jnp.where(elig[:, None] == 1, row, NEG), -(2 ** 18))
+                bestv[:, :] = jnp.maximum(bestv[:, :],
+                                          masked * 2048 + (N - r))
+            # (the bestv update — the online first-argmax of masked
+            # H[r+1, arm_len] encoded as (masked score, N - r) so a
+            # plain running max reproduces jax_poa's argmax tie rule —
+            # happens inside each branch above)
+            return jnp.where(mp > 1, mp, hi_water)
 
         # rows beyond the block's largest graph would compute garbage no
         # window reads (invalid rows are ineligible for the argmax and
         # unreachable through pred gathers) — skip them: graphs are
         # typically far smaller than the class cap N, and in early arm
         # rounds they are tiny
-        jax.lax.fori_loop(0, nmax, row_step, 0)
+        jax.lax.fori_loop(0, nmax, row_step, jnp.int32(1))
         best_ref[:, :] = bestv[:, :]
 
     return kernel, LP
@@ -234,9 +284,8 @@ def _build_run(N: int, L: int, P: int, m: int, n: int, g: int, TW: int,
                 jax.ShapeDtypeStruct((B, LP), jnp.int32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((TW, N + 2, LP), jnp.int32),
+                pltpu.VMEM((N + 2, TW, LP), jnp.int32),
                 pltpu.VMEM((P, TW, LP), jnp.int32),
-                pltpu.VMEM((TW, LP), jnp.int32),
                 pltpu.VMEM((TW, LP), jnp.int32),
             ],
             # the long class's H scratch ([TW, N+2, LP] i32) exceeds the
