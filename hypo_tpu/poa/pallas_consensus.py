@@ -65,9 +65,11 @@ def _build_kernel(N: int, P: int, TW: int, MAXBC: int):
                             jnp.where(take, pr, bpr),
                             jnp.where(take, sc, bsc))
                 cnt = node_ref[w, r] & 15
-                bw, bpr, bsc = jax.lax.fori_loop(
-                    0, cnt, slot,
-                    (jnp.int32(-1), jnp.int32(-1), jnp.int32(NEG)))
+                # slot 0 inline (almost every node has exactly one
+                # in-edge; cnt >= 1 always — empty slots decode pr=-1)
+                c0 = slot(0, (jnp.int32(-1), jnp.int32(-1),
+                              jnp.int32(NEG)))
+                bw, bpr, bsc = jax.lax.fori_loop(1, cnt, slot, c0)
                 return jnp.where(bpr >= 0, bw + bsc, jnp.int32(-1)), bpr
 
             # -- first pass: relax in rank order, first max wins ----------

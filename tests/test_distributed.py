@@ -111,6 +111,72 @@ def test_distributed_solid_kmers_match_single_rank(tmp_path):
                                   np.minimum(single, cap))
 
 
+_TWO_PROC_SCRIPT = r"""
+import os, sys
+import numpy as np
+pid = int(sys.argv[1]); nproc = int(sys.argv[2])
+port = sys.argv[3]; out = sys.argv[4]
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nproc, process_id=pid)
+assert jax.process_count() == nproc
+assert jax.device_count() == nproc * jax.local_device_count()
+sys.path.insert(0, os.path.dirname(out))
+from hypo_tpu.parallel import distributed as dist
+# each rank holds a different table; psum must produce the global sum
+# identically on every rank
+local = np.arange(64, dtype=np.int32) * (pid + 1)
+merged = dist.psum_across_hosts(local)
+expect = np.arange(64, dtype=np.int32) * sum(
+    p + 1 for p in range(nproc))
+np.testing.assert_array_equal(merged, expect)
+np.save(f"{out}.rank{pid}.npy", merged)
+"""
+
+
+def test_psum_two_process_jax_distributed(tmp_path):
+    """REAL multi-process jax.distributed: two CPU processes + a
+    localhost coordinator; the dense-count psum merge must produce the
+    identical global sum on both ranks (SURVEY §5's single cross-host
+    reduction).  Uses process env isolated from the test's own jax."""
+    import socket
+    import subprocess
+    import sys
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    script = tmp_path / "rank.py"
+    script.write_text(_TWO_PROC_SCRIPT)
+    out = str(tmp_path / "psum")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(p), "2", str(port), out],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for p in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            so, se = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, se.decode()[-800:]))
+    for rc, err in outs:
+        assert rc == 0, f"rank failed: {err}"
+    r0 = np.load(out + ".rank0.npy")
+    r1 = np.load(out + ".rank1.npy")
+    np.testing.assert_array_equal(r0, r1)
+    np.testing.assert_array_equal(
+        r0, np.arange(64, dtype=np.int32) * 3)
+
+
 def test_gather_polished_fasta(tmp_path):
     out = str(tmp_path / "polished.fa")
     draft_order = ["c0", "c1", "c2", "c3"]
