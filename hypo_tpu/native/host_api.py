@@ -170,6 +170,24 @@ def clear_pack_cache() -> None:
     _PACK_CACHE.clear()
 
 
+def _flat(alignments):
+    """(codes_buf, offsets, rb, re) for the native calls — zero-copy
+    from an AlignmentView (the flat batch store), or packed+cached from
+    a list of Alignment objects (legacy/python paths)."""
+    from .bam_api import AlignmentView
+    if isinstance(alignments, AlignmentView):
+        return (alignments.seq, alignments.seq_off, alignments.rb,
+                alignments.re)
+    return _pack_alignments(alignments)
+
+
+def _flat_cigars(alignments):
+    from .bam_api import AlignmentView
+    if isinstance(alignments, AlignmentView):
+        return alignments.cig, alignments.cig_off
+    return _pack_cigars(alignments)
+
+
 def skmer_support(contig, alignments: List, k: int,
                   nthreads: int = 0) -> None:
     """Native twin of segment.support.update_solidkmers_support."""
@@ -179,8 +197,8 @@ def skmer_support(contig, alignments: List, k: int,
     npos = len(positions)
     cov_diff = np.zeros(npos + 1, dtype=np.int64)
     support = np.zeros(npos, dtype=np.int64)
-    if alignments:
-        buf, off, rb, re = _pack_alignments(alignments)
+    if len(alignments):
+        buf, off, rb, re = _flat(alignments)
         lib.hypo_skmer_support(
             _ptr(positions, _i64p), _ptr(kids, _i64p), npos, k,
             _ptr(buf, _u8p), _ptr(off, _i64p), _ptr(rb, _i64p),
@@ -208,8 +226,8 @@ def minimizer_support(contig, alignments: List, mk: int, mw: int,
         o0, o1 = int(mw_off[i]), int(mw_off[i + 1])
         m_vals[o0:o1] = minfo.minimisers
         m_abs[o0:o1] = contig.mw_base_pos[i] + np.cumsum(minfo.rel_pos)
-    if alignments and total:
-        buf, off, rb, re = _pack_alignments(alignments)
+    if len(alignments) and total:
+        buf, off, rb, re = _flat(alignments)
         lib.hypo_minimizer_support(
             _ptr(starts, _i64p), len(starts), int(contig.is_win_even),
             _ptr(mw_off, _i64p), n_mw, _ptr(m_vals, _i64p),
@@ -451,8 +469,8 @@ def find_arms(contig, alignments: List, k: int, mk: int, is_long: bool,
         if len(anchors) == 0:
             anchors = np.zeros(2, dtype=np.int64)
         true_id = np.zeros(len(starts), dtype=np.int64)
-    buf, off, rb, re = _pack_alignments(alignments)
-    cig, cig_off = _pack_cigars(alignments)
+    buf, off, rb, re = _flat(alignments)
+    cig, cig_off = _flat_cigars(alignments)
     h = lib.hypo_find_arms(
         _ptr(starts, _i64p), _ptr(rtype, _u8p), _ptr(rinfo, _i64p),
         _ptr(anchors, _i64p), _ptr(true_id, _i64p), len(starts),

@@ -139,8 +139,11 @@ class Contig:
         """Feed windows from a native arm table (aln_idx, windex, qb,
         qe, armtype arrays in (alignment, emission) order) — exactly the
         order the per-alignment add_arms drain produces, so POA
-        tie-breaking is unchanged."""
+        tie-breaking is unchanged.  ``alignments`` is either a list of
+        Alignment objects or a flat AlignmentView."""
         aln_idx, windex, qb, qe, armtype = table
+        get_codes = (alignments.codes if hasattr(alignments, "codes")
+                     else lambda a, b, e: alignments[a].codes[b:e])
         windows = self.windows
         for i in range(len(aln_idx)):
             w = windows[windex[i]]
@@ -150,7 +153,7 @@ class Contig:
             if t == 3:  # EMPTY
                 w.add_empty()
                 continue
-            codes = alignments[aln_idx[i]].codes[qb[i]:qe[i]]
+            codes = get_codes(aln_idx[i], qb[i], qe[i])
             if t == 1:  # PREFIX
                 w.add_prefix(codes)
             elif t == 2:  # SUFFIX

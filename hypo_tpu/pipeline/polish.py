@@ -48,8 +48,11 @@ def open_stream(path: str, cname_to_id: Dict[str, int]):
 
 class _NativeStream:
     def __init__(self, path: str, cname_to_id: Dict[str, int]):
-        from ..native import bam_api
+        from ..native import bam_api, host_api
         self.inner = bam_api.NativeBamStream(path, cname_to_id)
+        # flat AlignmentViews need the native host stages to consume
+        # them; with only the BAM lib present fall back to objects
+        self.flat = host_api.available()
 
     def skip_until(self, final_cid: int) -> None:
         """Advance the stream past all records of contigs < final_cid
@@ -59,7 +62,13 @@ class _NativeStream:
 
     def load_until(self, final_cid: int, min_mapq: int,
                    norm_edit_th=None, contig_lens=None):
-        """Returns (store: cid -> [Alignment], n_valid, n_invalid)."""
+        """Returns (store: cid -> AlignmentView | [Alignment], n_valid,
+        n_invalid).  The flat view path materializes NO per-record
+        Python objects (at human scale 20M Alignment objects cost
+        ~20 GB RSS and minutes of construction)."""
+        if self.flat:
+            return self.inner.load_store(final_cid, min_mapq,
+                                         norm_edit_th)
         recs, n, n_invalid = self.inner.load_until(final_cid, min_mapq,
                                                    norm_edit_th)
         store: Dict[int, List[Alignment]] = {}
@@ -352,9 +361,15 @@ class Polisher:
                     ctg, store[cid], f.k, MS2.k, False,
                     ARMS_SETTINGS.short_arm_coef, f.threads)
                 if fast_tiles:
-                    buf, off, _rb, _re = host_api._pack_alignments(
-                        store[cid])
-                    ctg._device_arm_data = (arm_tables[cid], buf, off)
+                    alns = store[cid]
+                    if hasattr(alns, "seq"):   # flat AlignmentView
+                        ctg._device_arm_data = (arm_tables[cid],
+                                                alns.seq, alns.seq_off)
+                    else:
+                        buf, off, _rb, _re = host_api._pack_alignments(
+                            alns)
+                        ctg._device_arm_data = (arm_tables[cid], buf,
+                                                off)
             else:
                 for aln in store[cid]:
                     aln.find_short_arms(f.k, ctg)
