@@ -281,6 +281,27 @@ def _pack_cigars(alignments: List):
     return np.ascontiguousarray(buf), off
 
 
+def edit_distance_banded(a: bytes, b: bytes, band: int = 0):
+    """Native twin of utils.alnutil.edit_distance (same band rule);
+    returns None when the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not getattr(lib, "_ed_registered", False):
+        lib.hypo_edit_distance_banded.restype = ctypes.c_int64
+        lib.hypo_edit_distance_banded.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_int64]
+        lib._ed_registered = True
+    if len(a) > len(b):
+        a, b = b, a
+    n, m = len(a), len(b)
+    if band <= 0:
+        band = 2 * (m - n) + 64
+    band = min(band, m)
+    return int(lib.hypo_edit_distance_banded(a, n, b, m, band))
+
+
 def _register_tiles(lib):
     if getattr(lib, "_tiles_registered", False):
         return

@@ -1115,6 +1115,44 @@ int64_t hypo_tile_pack(
     return hi;
 }
 
+// Banded Levenshtein distance (QV evaluation, hypo_tpu/eval_qv.py).
+// Same semantics as utils.alnutil.edit_distance: diagonal band of
+// half-width `band` around j - i = 0..(m-n); INF outside.  The Python
+// twin loops 1e8 rows at chromosome scale; this runs the identical DP
+// at memory speed.  a must be the SHORTER sequence (caller swaps).
+int64_t hypo_edit_distance_banded(
+    const uint8_t* a, int64_t n, const uint8_t* b, int64_t m,
+    int64_t band) {
+    const int64_t INF = int64_t(1) << 40;
+    const int64_t W = 2 * band + 1;
+    std::vector<int64_t> prev(W, INF), cur(W, INF);
+    for (int64_t k = band; k < W; ++k) prev[k] = k - band;  // row 0
+    for (int64_t i = 1; i <= n; ++i) {
+        const int64_t lo = std::max<int64_t>(0, i - band);
+        const int64_t hi = std::min<int64_t>(m, i + band);
+        std::fill(cur.begin(), cur.end(), INF);
+        int64_t run = INF;  // the "left" in-row propagation
+        for (int64_t j = lo; j <= hi; ++j) {
+            const int64_t k = j - i + band;
+            int64_t v;
+            if (j == 0) {
+                v = i;
+            } else {
+                const int64_t sub = (b[j - 1] != a[i - 1]) ? 1 : 0;
+                int64_t best = prev[k] + sub;            // diag
+                if (k + 1 < W && prev[k + 1] < INF)
+                    best = std::min(best, prev[k + 1] + 1);  // up
+                v = best;
+            }
+            if (run < INF) v = std::min(v, run + 1);      // left
+            cur[k] = v;
+            run = v;
+        }
+        std::swap(prev, cur);
+    }
+    return prev[m - n + band];
+}
+
 // Unpack the device tile output (nibble-packed consensus rows, layout
 // of device_full._finish_packed) into per-job ASCII.  kind 0 = short
 // (strip the J/O marker columns).  out is [cnt * outcap]; out_len[t]

@@ -219,7 +219,7 @@ class Polisher:
         if f.device_poa_mode == "full":
             from ..poa.full_runner import FullDeviceRunner
             runner = FullDeviceRunner(f.score_params, threads=f.threads)
-            runner.warm(classes=(0, 1) if runner.device_long else (0,))
+            runner.warm(classes=(0,))
             return runner
         from ..poa.batch import DeviceConsensusRunner
         return DeviceConsensusRunner(f.score_params)

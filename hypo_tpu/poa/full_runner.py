@@ -83,19 +83,22 @@ class FullDeviceRunner(DeviceConsensusRunner):
     def __init__(self, sp: ScoreParams, fix_long_align_type: bool = False,
                  use_native: bool = None, threads: int = 0):
         super().__init__(sp, fix_long_align_type, use_native)
-        import os
-
         import jax
         from .device_full import resolve_dp_impl
         self.dp_impl = resolve_dp_impl("auto")
         self.ndev = jax.local_device_count()
         self.threads = threads
         # long pseudo-windows (wtype != 0) run on the host native
-        # engine by default: their noisy long-read arms never
-        # deduplicate and routinely exceed the K/N caps, so the device
-        # tile would mostly host-fallback anyway.  HYPO_DEVICE_LONG=1
-        # forces them through the device long class.
-        self.device_long = bool(os.environ.get("HYPO_DEVICE_LONG"))
+        # engine BY DESIGN, measured (tools/long_window_stats.py on a
+        # 2 Mbp hybrid sim at 25x long coverage, 657 LONG windows):
+        # dedup ratio 1.06 (noisy long arms never deduplicate, so the
+        # device loses its weighted-dedup advantage), median 16 raw
+        # arms per window (5-8x more sequential device arm steps than a
+        # short window), 58% exceed the K=16 distinct-arm cap and only
+        # 39% fit tile class 1 at all — the device tile would mostly
+        # host-fallback after paying full tile cost.  The reference
+        # polishes long windows through the same engine as short ones
+        # (Window.cpp:156-236); our split is a deliberate divergence.
         from .engine import ConsensusEngine
         self.host_engine = ConsensusEngine(sp, fix_long_align_type,
                                            use_native)
@@ -203,7 +206,7 @@ class FullDeviceRunner(DeviceConsensusRunner):
             if w is None:
                 continue
             count += 1
-            if w.wtype != 0 and not self.device_long:
+            if w.wtype != 0:
                 host_long.append(w)
                 continue
             non_empty = w.num_internal + w.num_pre + w.num_suf
@@ -300,10 +303,8 @@ class FullDeviceRunner(DeviceConsensusRunner):
 
     @staticmethod
     def supports_native_tiles() -> bool:
-        import os
         from ..native import host_api
-        return (host_api.available()
-                and not os.environ.get("HYPO_DEVICE_LONG"))
+        return host_api.available()
 
     def run_polish_batch(self, contigs) -> int:
         import os

@@ -74,9 +74,19 @@ def semiglobal_align(query: np.ndarray, ref: np.ndarray, match: int = 2,
 
 def edit_distance(a: str, b: str, band: int = 0) -> int:
     """Banded Levenshtein distance (for QV evaluation).  band=0 picks
-    2*|len difference|+64 automatically."""
+    2*|len difference|+64 automatically.  Uses the native twin when
+    available (the Python row loop takes tens of minutes at chromosome
+    scale); both implement the identical DP (parity-tested)."""
     if a == b:
         return 0
+    try:
+        from ..native.host_api import edit_distance_banded
+        r = edit_distance_banded(a.encode("latin1"), b.encode("latin1"),
+                                 band)
+        if r is not None:
+            return r
+    except Exception:
+        pass
     x = np.frombuffer(a.encode(), dtype=np.uint8).astype(np.int64)
     y = np.frombuffer(b.encode(), dtype=np.uint8).astype(np.int64)
     if len(x) > len(y):

@@ -109,3 +109,69 @@ def test_native_window_consensus_matches_oracle():
         py_eng.generate_consensus(wp)
         nat_eng.generate_consensus(wn)
         assert wn.consensus == wp.consensus, i
+
+
+def test_native_edit_distance_matches_python_twin():
+    """hypo_edit_distance_banded == the banded numpy DP in
+    utils.alnutil (same band rule), on random edits."""
+    import random
+
+    import numpy as np
+
+    from hypo_tpu.native.host_api import edit_distance_banded
+    if edit_distance_banded(b"A", b"A") is None:
+        import pytest
+        pytest.skip("native host lib unavailable")
+
+    def py_ed(a, b, band=0):
+        if a == b:
+            return 0
+        x = np.frombuffer(a.encode(), dtype=np.uint8).astype(np.int64)
+        y = np.frombuffer(b.encode(), dtype=np.uint8).astype(np.int64)
+        if len(x) > len(y):
+            x, y = y, x
+        n, m = len(x), len(y)
+        if band <= 0:
+            band = 2 * (m - n) + 64
+        band = min(band, m)
+        INF = 1 << 40
+        prev = np.full(2 * band + 1, INF, dtype=np.int64)
+        prev[band:] = np.arange(band + 1)
+        for i in range(1, n + 1):
+            cur = np.full(2 * band + 1, INF, dtype=np.int64)
+            lo, hi = max(0, i - band), min(m, i + band)
+            js = np.arange(lo, hi + 1)
+            ks = js - i + band
+            sub = np.full(len(js), 1, dtype=np.int64)
+            valid = js >= 1
+            sub[valid] = (y[js[valid] - 1] != x[i - 1]).astype(np.int64)
+            diag = prev[ks]
+            up = np.full(len(js), INF, dtype=np.int64)
+            up_ok = ks + 1 <= 2 * band
+            up[up_ok] = prev[ks[up_ok] + 1]
+            cand = np.minimum(diag + sub, up + 1)
+            if js[0] == 0:
+                cand[0] = i
+            cur[ks] = cand
+            tt = np.arange(len(ks))
+            left = np.minimum.accumulate(cur[ks] - tt)
+            cur[ks] = np.minimum(cur[ks], left + tt)
+            prev = cur
+        return int(prev[m - n + band])
+
+    random.seed(3)
+    for _ in range(25):
+        n = random.randint(1, 250)
+        a = "".join(random.choice("ACGT") for _ in range(n))
+        b = list(a)
+        for _ in range(random.randint(0, 10)):
+            i = random.randrange(len(b)) if b else 0
+            op = random.random()
+            if op < 0.4 and b:
+                b[i] = random.choice("ACGT")
+            elif op < 0.7 and b:
+                del b[i]
+            else:
+                b.insert(i, random.choice("ACGT"))
+        b = "".join(b)
+        assert edit_distance_banded(a.encode(), b.encode()) == py_ed(a, b)
