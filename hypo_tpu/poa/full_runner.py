@@ -390,11 +390,43 @@ class FullDeviceRunner(DeviceConsensusRunner):
             print(f"[poa] pack+dispatch: {time.time()-t0:.2f}s "
                   f"({len(handles)} tiles)", flush=True)
         t0 = time.time()
+        # On tunneled runtimes EVERY device->host read costs ~1 s of
+        # polling; at scale there are hundreds of tiles, so per-tile
+        # readbacks dominate the whole stage.  Concatenate tile outputs
+        # on device into fixed-size chunks (fixed so the concat program
+        # compiles once) BEFORE the first read — hundreds of reads
+        # become a handful, each at full transfer bandwidth.
+        CHUNK = 64
+        chunk_of = {}        # handle index -> (chunk key, slot)
+        chunks = {}          # chunk key -> device array [<=CHUNK*B, R]
         if handles:
             import jax
-            jax.block_until_ready(handles[-1][0])
-        for handle, order, lo, hi, row_of, ci in handles:
-            packed = np.asarray(handle)
+            import jax.numpy as jnp
+            by_ci: Dict[int, List[int]] = {}
+            for i, h in enumerate(handles):
+                by_ci.setdefault(h[5], []).append(i)
+            for ci, idxs in by_ci.items():
+                for c0 in range(0, len(idxs), CHUNK):
+                    grp = idxs[c0:c0 + CHUNK]
+                    hs = [handles[i][0] for i in grp]
+                    # pad with the last handle so the concat program
+                    # compiles once per (class, CHUNK)
+                    cat = (hs[0] if len(idxs) <= 1 else jnp.concatenate(
+                        hs + [hs[-1]] * (CHUNK - len(hs)), axis=0))
+                    key = (ci, c0)
+                    chunks[key] = cat
+                    for slot, i in enumerate(grp):
+                        chunk_of[i] = (key, slot)
+            jax.block_until_ready(next(iter(chunks.values())))
+        cur_key, cur_arr = None, None
+        for i, (handle, order, lo, hi, row_of, ci) in enumerate(handles):
+            key, slot = chunk_of[i]
+            if key != cur_key:
+                cur_key, cur_arr = key, np.asarray(chunks[key])
+                chunks[key] = None   # free device memory as we go
+            Bt = self._class_shape(ci)[3]
+            packed = (cur_arr[slot * Bt:(slot + 1) * Bt]
+                      if cur_arr.shape[0] > Bt else cur_arr)
             cnt = hi - lo
             _L, N, _K, _B, _A = self._class_shape(ci)
             out, out_len = host_api.tile_finalize(
@@ -411,14 +443,26 @@ class FullDeviceRunner(DeviceConsensusRunner):
             print(f"[poa] readback+finalize: {time.time()-t0:.2f}s "
                   f"stats={self.stats}", flush=True)
         # host-engine leftovers: LONG windows (arms already
-        # materialized) + fallbacks (arms rebuilt from the flat table)
+        # materialized) + fallbacks (arms rebuilt from the flat table,
+        # bulk per contig — a per-window table scan is O(rows) each and
+        # stalls for minutes at 20M rows)
+        t0 = time.time()
+        by_ctg: Dict[int, List[int]] = {}
+        ctg_of = {}
         for ctg, wi in fallback:
-            self._materialize_arms(ctg, wi)
-            host_windows.append(ctg.windows[wi])
+            by_ctg.setdefault(id(ctg), []).append(wi)
+            ctg_of[id(ctg)] = ctg
+        for key, wis in by_ctg.items():
+            ctg = ctg_of[key]
+            self._materialize_arms_bulk(ctg, wis)
+            host_windows.extend(ctg.windows[wi] for wi in wis)
         if host_windows:
             self.stats["host_long_windows"] += len(host_windows)
             self.host_engine.generate_consensus_batch(host_windows,
                                                       self.threads)
+        if debug and (fallback or host_windows):
+            print(f"[poa] host leftovers: {time.time()-t0:.2f}s "
+                  f"({len(fallback)} fallbacks)", flush=True)
         return count
 
     def _merge_jobs(self, parts):
@@ -451,21 +495,27 @@ class FullDeviceRunner(DeviceConsensusRunner):
         return out
 
     @staticmethod
-    def _materialize_arms(ctg, wi: int) -> None:
-        """Rebuild one window's Python arm lists from the flat table
-        (device fast path keeps arms unmaterialized) so the host engine
-        can polish it.  Respects clear_pre_suf (num_pre/num_suf == 0)."""
-        w = ctg.windows[wi]
-        if w.internal_arms or w.pre_arms or w.suf_arms:
-            return  # already materialized
+    def _materialize_arms_bulk(ctg, wis: List[int]) -> None:
+        """Rebuild the Python arm lists of the given windows from the
+        flat table (the device fast path keeps arms unmaterialized) so
+        the host engine can polish them.  ONE pass over the table for
+        all windows; respects clear_pre_suf (num_pre/num_suf == 0)."""
         table, abuf, aoff = ctg._device_arm_data
         aln_idx, windex, qb, qe, at = table
-        idx = np.nonzero(np.asarray(windex) == wi)[0]
-        keep_presuf = w.num_pre > 0 or w.num_suf > 0
-        for r in idx:
+        windex = np.asarray(windex)
+        want = [wi for wi in wis
+                if not (ctg.windows[wi].internal_arms
+                        or ctg.windows[wi].pre_arms
+                        or ctg.windows[wi].suf_arms)]
+        if not want:
+            return
+        rows = np.nonzero(np.isin(windex, np.array(want)))[0]
+        for r in rows:
             t = at[r]
             if t == 3:
                 continue
+            w = ctg.windows[int(windex[r])]
+            keep_presuf = w.num_pre > 0 or w.num_suf > 0
             codes = abuf[aoff[aln_idx[r]] + qb[r]:
                          aoff[aln_idx[r]] + qe[r]]
             if t == 0:
