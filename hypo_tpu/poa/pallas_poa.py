@@ -3,16 +3,18 @@ hypo_tpu.poa.jax_poa.poa_dp_batch.
 
 Why it beats the XLA formulation (jax_poa._dp_one):
 
-- H stays resident in VMEM for the whole row sweep ([TW, N+2, LP] i32
-  per grid step); the XLA scan carries H through HBM and re-gathers
-  predecessor rows from HBM every step.
+- H stays resident in VMEM for the whole row sweep ([N+2, TW, LP] i32
+  per grid step, row-major so chain gathers and row stores are single
+  contiguous slab copies); the XLA scan carries H through HBM and
+  re-gathers predecessor rows from HBM every step.
 - The match/mismatch profile is computed IN the kernel from the arm
   row and the node's code (one scalar SMEM read per (window, row)) —
   no [B, N, LP] profile tensor ever exists in HBM.
 - The per-(window, pred) gather is a narrow VMEM copy at a scalar
   index read from SMEM, and it only runs for the row's REAL
-  predecessor count (block max, from SMEM); unused slots are NEG-
-  filled with full-slab stores.  The common single-predecessor
+  predecessor count (block max, from SMEM); pred slabs keep a NEG
+  high-water invariant so almost no per-row re-filling happens, and a
+  fully-unrolled fast path serves single-predecessor rows.  The common
   "chain" row (pred == previous rank for every window in the block,
   the overwhelmingly typical case for POA graphs of near-identical
   arms) collapses to ONE whole-block VMEM slab copy.
