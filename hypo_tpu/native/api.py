@@ -82,6 +82,18 @@ def _load():
             i64p, i32p, i32p, i32p, ctypes.c_int64,
             ci, ci, ci, ci, ci, ci, ci,
             ctypes.c_char_p, i64p, i64p, i64p, ci]
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        lib.hypo_jobs_consensus.restype = c
+        lib.hypo_jobs_consensus.argtypes = [
+            ctypes.c_int64, i64p, i32p, i8p, i32p, i64p, i8p,
+            ci, ci, ci, ci]
+        lib.hypo_jobs_cons_size.restype = ctypes.c_int64
+        lib.hypo_jobs_cons_size.argtypes = [c]
+        lib.hypo_jobs_cons_off.restype = i64p
+        lib.hypo_jobs_cons_off.argtypes = [c]
+        lib.hypo_jobs_cons_buf.restype = ctypes.POINTER(ctypes.c_char)
+        lib.hypo_jobs_cons_buf.argtypes = [c]
+        lib.hypo_jobs_cons_free.argtypes = [c]
         _lib = lib
         return _lib
 
@@ -281,3 +293,39 @@ def native_window_consensus_batch(jobs, sr_scores, lr_scores,
             o = int(out_off[i])
             res.append(raw[o:o + ln].decode("latin1"))
     return res
+
+
+def native_jobs_consensus(jobs, scores, nthreads: int = 0):
+    """Consensus for a flat TileJobs stream (hypo_tpu.native.host_api
+    .TileJobs — the same job/ext arrays the device tile path consumes)
+    entirely in C with OpenMP.  Returns (cons_bytes, off) where job j's
+    consensus is cons_bytes[off[j]:off[j+1]] (ASCII, markers stripped).
+    The host-engine twin of the device tile dispatch; reference analog
+    src/Hypo.cpp:237-247."""
+    lib = _load()
+    m, n, g = scores
+    i64 = lambda a: np.ascontiguousarray(a, np.int64).ctypes.data_as(
+        ctypes.POINTER(ctypes.c_int64))
+    i8 = lambda a: np.ascontiguousarray(a, np.int8).ctypes.data_as(
+        ctypes.POINTER(ctypes.c_int8))
+    jeo = np.ascontiguousarray(jobs.job_ext_off, np.int64)
+    elen = np.ascontiguousarray(jobs.ext_len, np.int32)
+    emode = np.ascontiguousarray(jobs.ext_mode, np.int8)
+    ew = np.ascontiguousarray(jobs.ext_w, np.int32)
+    eoff = np.ascontiguousarray(jobs.ext_off, np.int64)
+    ebuf = np.ascontiguousarray(jobs.ext_buf, np.int8)
+    h = lib.hypo_jobs_consensus(
+        int(jobs.n_jobs),
+        jeo.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _i32(elen), i8(emode), _i32(ew),
+        eoff.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        i8(ebuf), m, n, g, nthreads)
+    try:
+        total = lib.hypo_jobs_cons_size(h)
+        off = np.ctypeslib.as_array(
+            lib.hypo_jobs_cons_off(h), shape=(int(jobs.n_jobs) + 1,)
+        ).copy()
+        buf = ctypes.string_at(lib.hypo_jobs_cons_buf(h), int(total))
+    finally:
+        lib.hypo_jobs_cons_free(h)
+    return buf, off

@@ -732,4 +732,82 @@ void hypo_window_consensus_batch(
     }
 }
 
+// Flat jobs consensus: the host-engine twin of the device tile path.
+// Consumes the deduplicated, weighted, marker-flanked ext entries the
+// native tile-job builder emits (host_native.cpp hypo_tile_jobs; codes
+// ACGTJO = 0..5) and runs each job's POA fully in C with OpenMP —
+// no per-window Python objects, no per-window arm materialization.
+// Merging one arm with weight w is exactly merging w identical copies:
+// the second copy's optimal alignment is its own existing path, so the
+// edge-weight increments are identical (the device engine relies on the
+// same property; outputs were md5-identical across engines at 100 Mbp).
+// Reference analog: the per-window OMP POA loop, src/Hypo.cpp:237-247,
+// over spoa's SIMD engine.
+namespace {
+struct JobsCons {
+    std::vector<int64_t> off;   // [n_jobs + 1]
+    std::vector<char> buf;      // ASCII consensus, markers stripped
+};
+}  // namespace
+
+void* hypo_jobs_consensus(
+    int64_t n_jobs, const int64_t* job_ext_off, const int32_t* ext_len,
+    const int8_t* ext_mode, const int32_t* ext_w, const int64_t* ext_off,
+    const int8_t* ext_buf, int m, int n, int g, int nthreads) {
+    static const char* ALPHA = "ACGTJO";
+    auto* R = new JobsCons();
+    std::vector<std::string> out((size_t)n_jobs);
+#ifdef _OPENMP
+    if (nthreads > 0) omp_set_num_threads(nthreads);
+#endif
+#pragma omp parallel
+    {
+        std::string s;
+        std::vector<int32_t> an, as;
+#pragma omp for schedule(dynamic, 16)
+        for (int64_t j = 0; j < n_jobs; ++j) {
+            Graph graph;
+            for (int64_t e = job_ext_off[j]; e < job_ext_off[j + 1];
+                 ++e) {
+                const int8_t* p = ext_buf + ext_off[e];
+                const int32_t len = ext_len[e];
+                s.resize((size_t)len);
+                for (int32_t i = 0; i < len; ++i)
+                    s[i] = ALPHA[p[i] < 6 ? p[i] : 0];
+                graph.align(s.c_str(), len, (int)ext_mode[e], m, n, g,
+                            an, as);
+                graph.add_alignment(an.data(), as.data(), (int)an.size(),
+                                    s.c_str(), len, (int)ext_w[e]);
+            }
+            std::string c = graph.consensus();
+            out[(size_t)j] = c.size() <= 2
+                                 ? std::string()
+                                 : c.substr(1, c.size() - 2);
+        }
+    }
+    R->off.resize((size_t)n_jobs + 1);
+    R->off[0] = 0;
+    size_t total = 0;
+    for (int64_t j = 0; j < n_jobs; ++j) {
+        total += out[(size_t)j].size();
+        R->off[(size_t)j + 1] = (int64_t)total;
+    }
+    R->buf.resize(total);
+    for (int64_t j = 0; j < n_jobs; ++j)
+        std::memcpy(R->buf.data() + R->off[(size_t)j],
+                    out[(size_t)j].data(), out[(size_t)j].size());
+    return R;
+}
+
+int64_t hypo_jobs_cons_size(void* h) {
+    return (int64_t)((JobsCons*)h)->buf.size();
+}
+const int64_t* hypo_jobs_cons_off(void* h) {
+    return ((JobsCons*)h)->off.data();
+}
+const char* hypo_jobs_cons_buf(void* h) {
+    return ((JobsCons*)h)->buf.data();
+}
+void hypo_jobs_cons_free(void* h) { delete (JobsCons*)h; }
+
 }  // extern "C"

@@ -346,12 +346,20 @@ class Polisher:
         mon.stop("[hypo_tpu] Window division. ")
 
         from ..config import ARMS_SETTINGS, MINIMIZER_SETTINGS as MS2
-        # device fast path: window consensus reads arms straight from
-        # the flat native arm table (no per-window Python arm lists)
-        fast_tiles = (native_host and self.device_runner is not None
-                      and hasattr(self.device_runner,
-                                  "supports_native_tiles")
-                      and self.device_runner.supports_native_tiles())
+        # tile fast path: window consensus reads arms straight from
+        # the flat native arm table (no per-window Python arm lists).
+        # The same native job builder feeds either engine: device tiles
+        # (FullDeviceRunner) or the OpenMP jobs-consensus
+        # (HostTileRunner).
+        if self.device_runner is not None:
+            tile_runner = self.device_runner
+        else:
+            from ..poa.host_runner import HostTileRunner
+            tile_runner = HostTileRunner(
+                f.score_params, threads=f.threads)
+        fast_tiles = (native_host
+                      and hasattr(tile_runner, "supports_native_tiles")
+                      and tile_runner.supports_native_tiles())
         mon.start()
         arm_tables: Dict[int, tuple] = {}
         for cid in range(lo, hi):
@@ -421,7 +429,7 @@ class Polisher:
         mon.start()
         nwin = 0
         if fast_tiles:
-            nwin += self.device_runner.run_polish_batch(
+            nwin += tile_runner.run_polish_batch(
                 self.contigs[lo:hi])
             for cid in range(lo, hi):
                 ctg = self.contigs[cid]

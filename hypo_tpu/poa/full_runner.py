@@ -88,6 +88,7 @@ class FullDeviceRunner(DeviceConsensusRunner):
         self.dp_impl = resolve_dp_impl("auto")
         self.ndev = jax.local_device_count()
         self.threads = threads
+        self._aot_cache = {}
         # long pseudo-windows (wtype != 0) run on the host native
         # engine BY DESIGN, measured (tools/long_window_stats.py on a
         # 2 Mbp hybrid sim at 25x long coverage, 657 LONG windows):
@@ -139,12 +140,24 @@ class FullDeviceRunner(DeviceConsensusRunner):
         return t
 
     def _program(self, ci: int, scores):
-        from .device_full import build_tile_program
         L, N, K, B, A = self._class_shape(ci)
         m, n, g = scores
-        return build_tile_program(
-            N=N, L=L, K=K, P=P_FULL, m=m, n=n, g=g, B=B, A=A,
-            dp_impl=self.dp_impl, ndev=self.ndev)
+        params = dict(N=N, L=L, K=K, P=P_FULL, m=m, n=n, g=g, B=B, A=A,
+                      dp_impl=self.dp_impl, ndev=self.ndev)
+        if self.dp_impl == "pallas" and self.ndev == 1:
+            # never trace/compile in the pipeline process (45-80 s on
+            # the tunneled runtime, and the JIT cache key is perturbed
+            # by concurrent tracing) — load the AOT executable, falling
+            # back to one compile+persist if the artifact is absent
+            key = tuple(sorted(params.items()))
+            prog = self._aot_cache.get(key)
+            if prog is None:
+                from . import aot
+                prog = aot.get_tile_program(params)
+                self._aot_cache[key] = prog
+            return prog
+        from .device_full import build_tile_program
+        return build_tile_program(**params)
 
     def _class_shape(self, ci: int):
         L, N, K, B, A = CLASSES[ci]
@@ -466,64 +479,13 @@ class FullDeviceRunner(DeviceConsensusRunner):
         return count
 
     def _merge_jobs(self, parts):
-        """Concatenate per-contig TileJobs into one flat job store,
-        shifting the ext offsets; also tags each window with its
-        (contig, region) for fallback materialization."""
-        from ..native import host_api
-        if len(parts) == 1:
-            return parts[0]
-        out = host_api.TileJobs.__new__(host_api.TileJobs)
-        out.n_jobs = sum(p.n_jobs for p in parts)
-        out.job_next = np.concatenate([p.job_next for p in parts])
-        out.job_maxlen = np.concatenate([p.job_maxlen for p in parts])
-        eo = [parts[0].job_ext_off]
-        base = parts[0].job_ext_off[-1]
-        for p in parts[1:]:
-            eo.append(p.job_ext_off[1:] + base)
-            base += p.job_ext_off[-1]
-        out.job_ext_off = np.concatenate(eo)
-        out.ext_len = np.concatenate([p.ext_len for p in parts])
-        out.ext_mode = np.concatenate([p.ext_mode for p in parts])
-        out.ext_w = np.concatenate([p.ext_w for p in parts])
-        xo = [parts[0].ext_off]
-        base = parts[0].ext_off[-1]
-        for p in parts[1:]:
-            xo.append(p.ext_off[1:] + base)
-            base += p.ext_off[-1]
-        out.ext_off = np.concatenate(xo)
-        out.ext_buf = np.concatenate([p.ext_buf for p in parts])
-        return out
+        from .host_runner import merge_tile_jobs
+        return merge_tile_jobs(parts)
 
     @staticmethod
     def _materialize_arms_bulk(ctg, wis: List[int]) -> None:
-        """Rebuild the Python arm lists of the given windows from the
-        flat table (the device fast path keeps arms unmaterialized) so
-        the host engine can polish them.  ONE pass over the table for
-        all windows; respects clear_pre_suf (num_pre/num_suf == 0)."""
-        table, abuf, aoff = ctg._device_arm_data
-        aln_idx, windex, qb, qe, at = table
-        windex = np.asarray(windex)
-        want = [wi for wi in wis
-                if not (ctg.windows[wi].internal_arms
-                        or ctg.windows[wi].pre_arms
-                        or ctg.windows[wi].suf_arms)]
-        if not want:
-            return
-        rows = np.nonzero(np.isin(windex, np.array(want)))[0]
-        for r in rows:
-            t = at[r]
-            if t == 3:
-                continue
-            w = ctg.windows[int(windex[r])]
-            keep_presuf = w.num_pre > 0 or w.num_suf > 0
-            codes = abuf[aoff[aln_idx[r]] + qb[r]:
-                         aoff[aln_idx[r]] + qe[r]]
-            if t == 0:
-                w.internal_arms.append(codes)
-            elif t == 1 and keep_presuf:
-                w.pre_arms.append(codes)
-            elif t == 2 and keep_presuf:
-                w.suf_arms.append(codes)
+        from .host_runner import materialize_arms_bulk
+        materialize_arms_bulk(ctg, wis)
 
     def _take_tile(self, grp: List[_Job], lo: int, ci: int):
         """Take as many jobs from grp[lo:] as fit one tile's window and

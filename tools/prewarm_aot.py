@@ -1,0 +1,37 @@
+"""Build the AOT tile-program artifacts for the production shape
+classes so no polish run ever XLA-compiles in-process.
+
+Run once per machine / jax upgrade / poa-source change:
+
+    python tools/prewarm_aot.py          # default SR scores (5,-4,-8)
+
+Artifacts land in ~/.cache/hypo_tpu_aot (override: HYPO_AOT_DIR).
+"""
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from hypo_tpu.poa import aot
+from hypo_tpu.poa.full_runner import CLASSES, P_FULL
+
+
+def main(scores=(5, -4, -8)) -> None:
+    m, n, g = scores
+    for ci, (L, N, K, B, A) in enumerate(CLASSES):
+        params = dict(N=N, L=L, K=K, P=P_FULL, m=m, n=n, g=g, B=B, A=A,
+                      dp_impl="pallas", ndev=1)
+        t0 = time.time()
+        if aot.load_tile_program(params) is not None:
+            print(f"[prewarm] class {ci}: artifact present "
+                  f"({time.time()-t0:.1f}s load)")
+            continue
+        aot.compile_and_save(params)
+        print(f"[prewarm] class {ci}: compiled+saved "
+              f"in {time.time()-t0:.1f}s")
+
+
+if __name__ == "__main__":
+    sc = tuple(int(x) for x in sys.argv[1:4]) if len(sys.argv) > 3 \
+        else (5, -4, -8)
+    main(sc)
