@@ -8,7 +8,7 @@ artifact.  A SIGTERM/SIGALRM handler re-prints the current best and
 exits 0 even if the process is killed mid-run.
 
 Headline metric: measured PIPELINE windows/sec of the FASTER engine —
-a 1 Mbp / 30x simulated dataset polished via the real CLI (subprocess),
+a 4 Mbp / 30x simulated dataset polished via the real CLI (subprocess),
 windows/s = windows consensused / wall time of the POA stage.  The
 device-vs-host comparison is printed to stderr; the JSON number is the
 pipeline, never a kernel extrapolation.  Set HYPO_BENCH_KERNEL=1 for
@@ -33,7 +33,7 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 SIM_DIR = os.environ.get("HYPO_BENCH_DIR", "/tmp/hypo_bench_sim")
-GENOME_MBP = int(os.environ.get("HYPO_BENCH_MBP", "1"))
+GENOME_MBP = int(os.environ.get("HYPO_BENCH_MBP", "4"))
 BASELINE_WINDOWS_PER_SEC = 560.0
 DEVICE_ATTEMPTS = int(os.environ.get("HYPO_BENCH_ATTEMPTS", "3"))
 
@@ -196,27 +196,44 @@ def main() -> None:
             f"({GENOME_MBP*1e6/total_s*3.6e3/1e9:.3f} Gbp/h)")
         record("host", *host)
 
-    # device path: first attempt doubles as the compile warm-up (the
-    # persistent cache makes later attempts load, not compile); the
-    # shared dev chip varies 10x run-to-run, so retry within budget
+    # AOT prewarm: build/load the serialized tile-program artifacts in a
+    # subprocess so no device attempt ever XLA-compiles in-process
+    # (cold compile is 45-80 s on the tunneled runtime; a cached
+    # artifact loads in ~0.3 s).
+    prewarm_s = None
+    left = deadline - time.time()
+    if left > 200:
+        t0 = time.time()
+        try:
+            subprocess.run(
+                [sys.executable, os.path.join(HERE, "tools",
+                                              "prewarm_aot.py")],
+                cwd=HERE, timeout=min(left - 120, 300),
+                capture_output=True)
+            prewarm_s = time.time() - t0
+            log(f"AOT prewarm: {prewarm_s:.1f}s")
+        except subprocess.TimeoutExpired:
+            log("AOT prewarm timed out; device attempts may compile")
+
+    # device path: the shared dev chip varies 10x run-to-run, so retry
+    # within budget and keep the best attempt
     best = None
     devout = None
     n_ok = 0
     import hashlib
     for i in range(DEVICE_ATTEMPTS):
         left = deadline - time.time()
-        if left < 140:
+        if left < 100:
             log(f"budget exhausted after {i} device attempt(s)")
             break
-        # a warm device run takes < 45 s when the shared chip is quiet;
-        # a longer run means contention and would not beat the host
+        # a warm AOT device run takes seconds when the chip is quiet; a
+        # long run means contention and would not beat the host
         # headline anyway, so cap the attempt instead of burning the
-        # whole budget on it (the first attempt may still pay a cold
-        # tile-program compile, so it gets more headroom)
-        cap = 420 if i == 0 else 150
+        # whole budget on it
+        cap = 150
         r = run_cli(sim, size, f"/tmp/hypo_bench_dev{i}.fa",
                     device=True,
-                    timeout=int(min(max(left - 30, 150), cap)))
+                    timeout=int(min(max(left - 30, 90), cap)))
         if r is None:
             log(f"device attempt {i}: failed/timeout")
             continue
@@ -237,6 +254,21 @@ def main() -> None:
             f"{'MATCH' if h == d else 'DIFFER'}")
     if best:
         record("device", *best)
+    # secondary dual-engine record (stderr, always emitted): both
+    # engines' pipeline rates plus the device fixed cost, so rounds are
+    # comparable even when one engine wins the headline
+    sec = {"genome_mbp": GENOME_MBP}
+    if host:
+        sec.update(host_windows=host[0], host_poa_s=round(host[1], 3),
+                   host_wps=round(host[0] / host[1], 1),
+                   host_total_s=round(host[2], 2))
+    if best:
+        sec.update(dev_windows=best[0], dev_poa_s=round(best[1], 3),
+                   dev_wps=round(best[0] / best[1], 1),
+                   dev_total_s=round(best[2], 2))
+    if prewarm_s is not None:
+        sec["aot_prewarm_s"] = round(prewarm_s, 1)
+    log("secondary " + json.dumps(sec))
 
     if os.environ.get("HYPO_BENCH_KERNEL") and \
             time.time() < deadline - 60:

@@ -55,6 +55,38 @@ def revcomp(codes: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# 2-bit packing (the PackedSeq<2> role, reference
+# include/PackedSeq.hpp:80-160): 4 bases per byte, base i at bits
+# (i & 3) * 2 of byte i >> 2.  N-free codes only (callers drop
+# N-containing reads, matching reference copy_data Alignment.cpp:557).
+
+def pack2(codes: np.ndarray) -> np.ndarray:
+    """uint8 codes (0..3) -> packed uint8 array of ceil(n/4) bytes."""
+    n = len(codes)
+    padded = np.zeros((n + 3) & ~3, dtype=np.uint8)
+    padded[:n] = codes
+    q = padded.reshape(-1, 4).astype(np.uint16)
+    return (q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4)
+            | (q[:, 3] << 6)).astype(np.uint8)
+
+
+def unpack2(packed: np.ndarray, start: int, length: int) -> np.ndarray:
+    """Base slice [start, start+length) of a 2-bit packed buffer."""
+    if length <= 0:
+        return np.zeros(0, dtype=np.uint8)
+    b0 = start >> 2
+    b1 = (start + length + 3) >> 2
+    chunk = packed[b0:b1]
+    out = np.empty(4 * len(chunk), dtype=np.uint8)
+    out[0::4] = chunk & 3
+    out[1::4] = (chunk >> 2) & 3
+    out[2::4] = (chunk >> 4) & 3
+    out[3::4] = (chunk >> 6) & 3
+    o = start - 4 * b0
+    return out[o:o + length]
+
+
+# ---------------------------------------------------------------------------
 # K-mer codes
 
 def kmer_codes(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -67,11 +99,15 @@ def kmer_codes(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
     n = len(codes)
     if n < k:
         return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=bool))
-    c = codes.astype(np.int64)
+    c = (codes & 3).astype(np.int64)
     bad = (codes > 3)
-    win = np.lib.stride_tricks.sliding_window_view(c, k)
-    powers = (np.int64(1) << (2 * np.arange(k - 1, -1, -1, dtype=np.int64)))
-    kmers = win @ powers
+    # k shifted ORs instead of an int64 matvec (numpy integer matmul has
+    # no BLAS path and is ~100x slower at genome scale)
+    m = n - k + 1
+    kmers = np.zeros(m, dtype=np.int64)
+    for j in range(k):
+        np.bitwise_or(kmers, c[j:j + m] << np.int64(2 * (k - 1 - j)),
+                      out=kmers)
     if bad.any():
         badcum = np.concatenate([[0], np.cumsum(bad)])
         valid = (badcum[k:] - badcum[:-k]) == 0

@@ -102,7 +102,9 @@ class AlignmentView:
 
     ``seq``/``cig`` are the WHOLE batch buffers; ``seq_off``/``cig_off``
     hold ABSOLUTE offsets into them ([n+1] each), so slicing a contig's
-    view is O(1) and copy-free."""
+    view is O(1) and copy-free.  ``seq`` is 2-BIT PACKED (4 bases/byte,
+    the PackedSeq<2> role, reference include/PackedSeq.hpp:80-160);
+    ``seq_off`` is in BASES."""
 
     __slots__ = ("seq", "seq_off", "cig", "cig_off", "rb", "re")
 
@@ -119,8 +121,8 @@ class AlignmentView:
 
     def codes(self, a: int, qb: int, qe: int) -> np.ndarray:
         """The aligned-query code slice [qb, qe) of alignment a."""
-        o = self.seq_off[a]
-        return self.seq[o + qb:o + qe]
+        from ..dna import unpack2
+        return unpack2(self.seq, int(self.seq_off[a]) + qb, qe - qb)
 
     @staticmethod
     def empty() -> "AlignmentView":
@@ -189,21 +191,23 @@ class NativeBamStream:
         seq_off = np.ctypeslib.as_array(
             lib.hypo_bam_get_seq_off(h), (n + 1,)).copy()
         seq = np.ctypeslib.as_array(
-            lib.hypo_bam_get_seq(h), (int(seq_off[-1]),)).copy()
+            lib.hypo_bam_get_seq(h),
+            ((int(seq_off[-1]) + 3) // 4,)).copy()
         cids = self.tid_to_cid[tid]
         if (cids < 0).any():
             bad = int(tid[cids < 0][0])
             raise ValueError(
                 f"contig id {bad} in BAM not present in draft")
+        from ..dna import unpack2
         ops = (cig & 0xF).astype(np.uint8)
         lens = (cig >> 4).astype(np.uint32)
         recs = []
         for i in range(n):
-            o0, o1 = seq_off[i], seq_off[i + 1]
+            o0, o1 = int(seq_off[i]), int(seq_off[i + 1])
             c0, c1 = cig_off[i], cig_off[i + 1]
             recs.append((int(cids[i]), int(rb[i]), int(re[i]),
-                         seq[o0:o1], ops[c0:c1], lens[c0:c1],
-                         cig[c0:c1]))
+                         unpack2(seq, o0, o1 - o0), ops[c0:c1],
+                         lens[c0:c1], cig[c0:c1]))
         return recs, n, n_invalid
 
     def load_store(self, final_cid: int, min_mapq: int,
@@ -233,7 +237,8 @@ class NativeBamStream:
         seq_off = np.ctypeslib.as_array(
             lib.hypo_bam_get_seq_off(h), (n + 1,)).copy()
         seq = np.ctypeslib.as_array(
-            lib.hypo_bam_get_seq(h), (int(seq_off[-1]),)).copy()
+            lib.hypo_bam_get_seq(h),
+            ((int(seq_off[-1]) + 3) // 4,)).copy()
         cids = self.tid_to_cid[tid]
         if (cids < 0).any():
             bad = int(tid[cids < 0][0])

@@ -51,8 +51,11 @@ struct BamReader {
     std::vector<int64_t> rb, re;
     std::vector<int64_t> cig_off;   // ncig+1 offsets
     std::vector<uint32_t> cig;      // BAM-encoded (len<<4|op)
-    std::vector<int64_t> seq_off;   // nseq+1 offsets
-    std::vector<uint8_t> seq;       // trimmed 2-bit codes
+    std::vector<int64_t> seq_off;   // nseq+1 offsets IN BASES
+    std::vector<uint8_t> seq;       // 2-BIT PACKED trimmed codes
+                                    // (base i at bits (i&3)*2 of
+                                    // byte i>>2; PackedSeq.hpp:80)
+    int64_t seq_bases = 0;          // total bases packed so far
     int64_t n_invalid = 0;          // dropped (N-containing / NM gate)
     int64_t n_filtered = 0;         // flag/mapq filtered
 
@@ -258,7 +261,7 @@ int64_t hypo_bam_read_until(void* h, int final_tid, int flag_exclude,
     r->tid.clear(); r->flag.clear(); r->mapq.clear(); r->nm.clear();
     r->rb.clear(); r->re.clear();
     r->cig_off.assign(1, 0); r->cig.clear();
-    r->seq_off.assign(1, 0); r->seq.clear();
+    r->seq_off.assign(1, 0); r->seq.clear(); r->seq_bases = 0;
     r->n_invalid = 0;
     r->n_filtered = 0;
 
@@ -356,8 +359,12 @@ int64_t hypo_bam_read_until(void* h, int final_tid, int flag_exclude,
         r->re.push_back(are);
         r->cig.insert(r->cig.end(), cg, cg + n_cigar);
         r->cig_off.push_back((int64_t)r->cig.size());
-        r->seq.insert(r->seq.end(), codes.begin(), codes.end());
-        r->seq_off.push_back((int64_t)r->seq.size());
+        for (const uint8_t c : codes) {
+            const int64_t b = r->seq_bases++;
+            if ((b & 3) == 0) r->seq.push_back(0);
+            r->seq[b >> 2] |= (uint8_t)(c << ((b & 3) << 1));
+        }
+        r->seq_off.push_back(r->seq_bases);
     }
     return (int64_t)r->tid.size();
 }

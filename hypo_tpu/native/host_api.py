@@ -156,6 +156,8 @@ def _pack_alignments(alignments: List):
     buf = np.empty(int(off[-1]), dtype=np.uint8)
     for a, o0, o1 in zip(alignments, off[:-1], off[1:]):
         buf[o0:o1] = a.codes
+    from ..dna import pack2
+    buf = pack2(buf)     # 2-bit, matching the AlignmentView store
     rb = np.array([a.rb for a in alignments], dtype=np.int64)
     re = np.array([a.re for a in alignments], dtype=np.int64)
     packed = (buf, off, rb, re)

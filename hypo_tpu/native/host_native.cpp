@@ -19,6 +19,20 @@
 #include <omp.h>
 #endif
 
+// Read-code buffers are 2-BIT PACKED (4 bases/byte, base i at bits
+// (i&3)*2 of byte i>>2 — the PackedSeq<2> role, reference
+// include/PackedSeq.hpp:80-160).  Offsets stay in BASES.  Scan loops
+// unpack each alignment once into a thread-local scratch: one extra
+// pass per read, 4x less resident memory for the batch store.
+static inline void unpack2_into(const uint8_t* packed, int64_t base0,
+                                int64_t len, std::vector<uint8_t>& out) {
+    out.resize((size_t)len);
+    for (int64_t i = 0; i < len; ++i) {
+        const int64_t b = base0 + i;
+        out[(size_t)i] = (packed[b >> 2] >> ((b & 3) << 1)) & 3;
+    }
+}
+
 extern "C" {
 
 // ---------------------------------------------------------------------
@@ -286,6 +300,7 @@ void hypo_skmer_support(const int64_t* positions, const int64_t* kids,
     {
         std::vector<std::pair<uint64_t, int32_t>> rk;    // (kmer, read pos)
         std::vector<std::array<int64_t, 3>> trip;        // (j, c, sp)
+        std::vector<uint8_t> qbuf;
 #pragma omp for schedule(dynamic, 64)
         for (int64_t a = 0; a < n_aln; ++a) {
             const int64_t arb = rb[a], are = re[a];
@@ -305,9 +320,10 @@ void hypo_skmer_support(const int64_t* positions, const int64_t* kids,
 #pragma omp atomic
             cov_diff[last] -= 1;
 
-            const uint8_t* q = codes + code_off[a];
             const int64_t qlen = code_off[a + 1] - code_off[a];
             if (qlen < k) continue;
+            unpack2_into(codes, code_off[a], qlen, qbuf);
+            const uint8_t* q = qbuf.data();
             rk.clear();
             uint64_t fwd = 0;
             for (int64_t j = 0; j < qlen; ++j) {
@@ -381,6 +397,7 @@ void hypo_minimizer_support(const int64_t* starts, int64_t nstarts,
     {
         std::vector<std::pair<uint64_t, int32_t>> rmin;  // (val, read pos)
         std::vector<std::pair<uint64_t, int64_t>> deque;
+        std::vector<uint8_t> qbuf;
 #pragma omp for schedule(dynamic, 64)
         for (int64_t a = 0; a < n_aln; ++a) {
             const int64_t arb = rb[a], are = re[a];
@@ -397,8 +414,9 @@ void hypo_minimizer_support(const int64_t* starts, int64_t nstarts,
 
             // forward-strand minimizer scan of the read (deque semantics
             // of reference src/Contig.cpp:474-502; reads are N-free)
-            const uint8_t* q = codes + code_off[a];
             const int64_t qlen = code_off[a + 1] - code_off[a];
+            unpack2_into(codes, code_off[a], qlen, qbuf);
+            const uint8_t* q = qbuf.data();
             rmin.clear();
             deque.clear();
             {
@@ -705,6 +723,7 @@ void* hypo_find_arms(
 #pragma omp parallel
     {
         std::vector<int64_t> bp;
+        std::vector<uint8_t> qbuf;
 #pragma omp for schedule(dynamic, 64)
         for (int64_t a = 0; a < n_aln; ++a) {
             auto& out = per_aln[a];
@@ -715,8 +734,9 @@ void* hypo_find_arms(
             const int64_t e_ind =
                 std::lower_bound(starts, starts + nstarts, are) - starts;
             if (e_ind - b_ind <= 1) continue;
-            const uint8_t* q = codes + code_off[a];
             const int64_t qae = code_off[a + 1] - code_off[a];
+            unpack2_into(codes, code_off[a], qae, qbuf);
+            const uint8_t* q = qbuf.data();
             find_bp(cig + cig_off[a], cig_off[a + 1] - cig_off[a], arb,
                     starts, rtype, b_ind, e_ind, bp);
             const bool sr_like0 =
@@ -867,12 +887,12 @@ void* hypo_tile_jobs(
         for (int64_t r = 0; r < n_rows; ++r)
             rows[cur[t_windex[r]]++] = r;
     }
-    std::vector<const uint8_t*> eptr;  // per-window ext scratch
+    std::vector<std::vector<uint8_t>> estore;  // per-window ext bytes
     std::vector<int32_t> elen;
     std::vector<int8_t> emode;  // mode of entry
     std::vector<int8_t> ehead, etail;  // marker flags per entry
     std::vector<int32_t> ew;
-    std::vector<int64_t> draft_scratch;  // unused
+    std::vector<uint8_t> rowbuf;  // unpack scratch for one arm slice
     auto emit_direct = [&](int64_t wi, const uint8_t* p, int64_t len,
                            bool ascii_from_codes) {
         R->flag[wi] = 1;
@@ -909,55 +929,57 @@ void* hypo_tile_jobs(
         }
         // build the marker-flanked sequence list (order of
         // DeviceConsensusRunner._build_job)
-        eptr.clear(); elen.clear(); emode.clear();
+        estore.clear(); elen.clear(); emode.clear();
         ehead.clear(); etail.clear(); ew.clear();
         bool arms_added = false, bad = false;
         auto push = [&](const uint8_t* p, int64_t len, int8_t mode,
                         bool head, bool tail) {
             // dedup against existing entries (first occurrence wins)
-            for (size_t e = 0; e < eptr.size(); ++e) {
+            for (size_t e = 0; e < estore.size(); ++e) {
                 if (emode[e] != mode || elen[e] != (int32_t)len ||
                     ehead[e] != (int8_t)head || etail[e] != (int8_t)tail)
                     continue;
-                if (std::memcmp(eptr[e], p, (size_t)len) == 0) {
+                if (std::memcmp(estore[e].data(), p, (size_t)len) == 0) {
                     ++ew[e];
                     return;
                 }
             }
             for (int64_t i = 0; i < len; ++i)
                 if (p[i] > 3) { bad = true; return; }
-            eptr.push_back(p); elen.push_back((int32_t)len);
+            estore.emplace_back(p, p + len);
+            elen.push_back((int32_t)len);
             emode.push_back(mode);
             ehead.push_back(head); etail.push_back(tail);
             ew.push_back(1);
+        };
+        auto push_row = [&](int64_t r, int8_t mode, bool head,
+                            bool tail) {
+            const int64_t len = t_qe[r] - t_qb[r];
+            unpack2_into(abuf, aoff[t_aln[r]] + t_qb[r], len, rowbuf);
+            push(rowbuf.data(), len, mode, head, tail);
         };
         if (n_int_rows == 0)
             push(draft, dlen, M_NW, true, true);
         for (int64_t j = r0; j < r1 && !bad; ++j) {
             const int64_t r = rows[j];
             if (t_type[r] != 0) continue;
-            const int64_t len = t_qe[r] - t_qb[r];
-            if (!len) continue;
-            push(abuf + aoff[t_aln[r]] + t_qb[r], len, M_NW, true, true);
+            if (t_qe[r] == t_qb[r]) continue;
+            push_row(r, M_NW, true, true);
             arms_added = true;
         }
         if (presuf) {   // prefix arms in REVERSE add order
             for (int64_t j = r1 - 1; j >= r0 && !bad; --j) {
                 const int64_t r = rows[j];
                 if (t_type[r] != 1) continue;
-                const int64_t len = t_qe[r] - t_qb[r];
-                if (!len) continue;
-                push(abuf + aoff[t_aln[r]] + t_qb[r], len, M_LOV,
-                     true, false);
+                if (t_qe[r] == t_qb[r]) continue;
+                push_row(r, M_LOV, true, false);
                 arms_added = true;
             }
             for (int64_t j = r0; j < r1 && !bad; ++j) {
                 const int64_t r = rows[j];
                 if (t_type[r] != 2) continue;
-                const int64_t len = t_qe[r] - t_qb[r];
-                if (!len) continue;
-                push(abuf + aoff[t_aln[r]] + t_qb[r], len, M_ROV,
-                     false, true);
+                if (t_qe[r] == t_qb[r]) continue;
+                push_row(r, M_ROV, false, true);
                 arms_added = true;
             }
         }
@@ -966,23 +988,23 @@ void* hypo_tile_jobs(
             emit_direct(wi, draft, dlen, true);
             continue;
         }
-        if (eptr.size() == 1 && emode[0] == M_NW) {
+        if (estore.size() == 1 && emode[0] == M_NW) {
             // trivial: single distinct NW sequence IS the consensus
             // (chain graph; markers stripped for short windows)
-            emit_direct(wi, eptr[0], elen[0], true);
+            emit_direct(wi, estore[0].data(), elen[0], true);
             continue;
         }
         // a device job
         R->flag[wi] = 2;
         R->job_windex.push_back(wi);
-        R->job_next.push_back((int32_t)eptr.size());
+        R->job_next.push_back((int32_t)estore.size());
         int32_t maxlen = 0;
-        for (size_t e = 0; e < eptr.size(); ++e) {
+        for (size_t e = 0; e < estore.size(); ++e) {
             const int32_t full = elen[e] + ehead[e] + etail[e];
             maxlen = std::max(maxlen, full);
             if (ehead[e]) R->ext_buf.push_back(G_J);
             for (int32_t i = 0; i < elen[e]; ++i)
-                R->ext_buf.push_back((int8_t)eptr[e][i]);
+                R->ext_buf.push_back((int8_t)estore[e][i]);
             if (etail[e]) R->ext_buf.push_back(G_O);
             R->ext_len.push_back(full);
             R->ext_mode.push_back(emode[e]);

@@ -65,6 +65,7 @@ def materialize_arms_bulk(ctg, wis: List[int]) -> None:
                     or ctg.windows[wi].suf_arms)]
     if not want:
         return
+    from ..dna import unpack2
     rows = np.nonzero(np.isin(windex, np.array(want)))[0]
     for r in rows:
         t = at[r]
@@ -72,8 +73,8 @@ def materialize_arms_bulk(ctg, wis: List[int]) -> None:
             continue
         w = ctg.windows[int(windex[r])]
         keep_presuf = w.num_pre > 0 or w.num_suf > 0
-        codes = abuf[aoff[aln_idx[r]] + qb[r]:
-                     aoff[aln_idx[r]] + qe[r]]
+        codes = unpack2(abuf, int(aoff[aln_idx[r]]) + int(qb[r]),
+                        int(qe[r]) - int(qb[r]))
         if t == 0:
             w.internal_arms.append(codes)
         elif t == 1 and keep_presuf:

@@ -7,6 +7,7 @@ Run once per machine / jax upgrade / poa-source change:
 
 Artifacts land in ~/.cache/hypo_tpu_aot (override: HYPO_AOT_DIR).
 """
+import os
 import sys
 import time
 
@@ -31,7 +32,33 @@ def main(scores=(5, -4, -8)) -> None:
               f"in {time.time()-t0:.1f}s")
 
 
+def ship() -> None:
+    """Copy the current artifacts into the repo's aux/aot so a fresh
+    machine with the same (jax, device kind, poa sources) never
+    compiles.  Run after the last poa-source change of a round."""
+    import shutil
+
+    from hypo_tpu.poa.full_runner import CLASSES as CL
+    dst = aot._repo_artifact_dir()
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(dst):
+        os.remove(os.path.join(dst, f))
+    n = 0
+    for ci, (L, N, K, B, A) in enumerate(CL):
+        params = dict(N=N, L=L, K=K, P=P_FULL, m=5, n=-4, g=-8, B=B,
+                      A=A, dp_impl="pallas", ndev=1)
+        src = aot._artifact_path(params)
+        if os.path.exists(src):
+            shutil.copy(src, dst)
+            n += 1
+    print(f"[prewarm] shipped {n} artifact(s) to {dst}")
+
+
 if __name__ == "__main__":
-    sc = tuple(int(x) for x in sys.argv[1:4]) if len(sys.argv) > 3 \
-        else (5, -4, -8)
-    main(sc)
+    if "--ship" in sys.argv:
+        main()
+        ship()
+    else:
+        sc = tuple(int(x) for x in sys.argv[1:4]) if len(sys.argv) > 3 \
+            else (5, -4, -8)
+        main(sc)
