@@ -74,6 +74,18 @@ def _load():
             _i64p, ctypes.c_int64, _i64p, _i64p,
             _u8p, _i64p, _i64p, _i64p, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int, _i32p, _i32p, ctypes.c_int]
+        lib.hypo_mw_minimizer_build.restype = ctypes.c_void_p
+        lib.hypo_mw_minimizer_build.argtypes = [
+            _u8p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int64, _i64p, ctypes.c_int,
+            ctypes.c_int]
+        lib.hypo_mw_min_total.restype = ctypes.c_int64
+        lib.hypo_mw_min_total.argtypes = [ctypes.c_void_p]
+        for nm in ("hypo_mw_min_off", "hypo_mw_min_vals",
+                   "hypo_mw_min_pos"):
+            getattr(lib, nm).restype = _i64p
+            getattr(lib, nm).argtypes = [ctypes.c_void_p]
+        lib.hypo_mw_min_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -210,24 +222,47 @@ def skmer_support(contig, alignments: List, k: int,
     contig.kmer_support += support
 
 
+def mw_minimizer_build(codes: np.ndarray, begs: np.ndarray,
+                       ends: np.ndarray, mk: int, mw: int,
+                       min_len: int, poly, nthreads: int = 0):
+    """Flat per-MegaWindow minimizer tables (native twin of
+    segment.minimizers.build_mw_minimizer_info over every MW at once).
+    Returns (off [n_mw+1], vals, pos) with contig-absolute positions."""
+    lib = _load()
+    begs = np.ascontiguousarray(begs, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    polyarr = np.ascontiguousarray(poly, np.int64)
+    h = lib.hypo_mw_minimizer_build(
+        _ptr(codes, _u8p), _ptr(begs, _i64p), _ptr(ends, _i64p),
+        len(begs), mk, mw, min_len, _ptr(polyarr, _i64p), len(polyarr),
+        nthreads)
+    try:
+        total = int(lib.hypo_mw_min_total(h))
+        off = np.ctypeslib.as_array(lib.hypo_mw_min_off(h),
+                                    (len(begs) + 1,)).copy()
+        vals = np.ctypeslib.as_array(lib.hypo_mw_min_vals(h),
+                                     (total,)).copy() if total else \
+            np.zeros(0, np.int64)
+        pos = np.ctypeslib.as_array(lib.hypo_mw_min_pos(h),
+                                    (total,)).copy() if total else \
+            np.zeros(0, np.int64)
+    finally:
+        lib.hypo_mw_min_free(h)
+    return off, vals, pos
+
+
 def minimizer_support(contig, alignments: List, mk: int, mw: int,
                       nthreads: int = 0) -> None:
     """Native twin of segment.support.update_minimisers_support."""
     lib = _load()
     starts = np.ascontiguousarray(contig.stage1_starts, dtype=np.int64)
-    n_mw = len(contig.minfos)
-    mw_off = np.zeros(n_mw + 1, dtype=np.int64)
-    for i, minfo in enumerate(contig.minfos):
-        mw_off[i + 1] = mw_off[i] + len(minfo.minimisers)
-    total = int(mw_off[-1])
-    m_vals = np.empty(total, dtype=np.int64)
-    m_abs = np.empty(total, dtype=np.int64)
+    mw_off = np.ascontiguousarray(contig.mw_off, dtype=np.int64)
+    n_mw = len(mw_off) - 1
+    m_vals = np.ascontiguousarray(contig.mw_vals, dtype=np.int64)
+    m_abs = np.ascontiguousarray(contig.mw_pos, dtype=np.int64)
+    total = len(m_vals)
     cov = np.zeros(total, dtype=np.int32)
     sup = np.zeros(total, dtype=np.int32)
-    for i, minfo in enumerate(contig.minfos):
-        o0, o1 = int(mw_off[i]), int(mw_off[i + 1])
-        m_vals[o0:o1] = minfo.minimisers
-        m_abs[o0:o1] = contig.mw_base_pos[i] + np.cumsum(minfo.rel_pos)
     if len(alignments) and total:
         buf, off, rb, re = _flat(alignments)
         lib.hypo_minimizer_support(
@@ -237,10 +272,8 @@ def minimizer_support(contig, alignments: List, mk: int, mw: int,
             _ptr(buf, _u8p), _ptr(off, _i64p), _ptr(rb, _i64p),
             _ptr(re, _i64p), len(alignments), mk, mw,
             _ptr(cov, _i32p), _ptr(sup, _i32p), nthreads)
-    for i, minfo in enumerate(contig.minfos):
-        o0, o1 = int(mw_off[i]), int(mw_off[i + 1])
-        minfo.coverage += cov[o0:o1]
-        minfo.support += sup[o0:o1]
+    contig.mw_cov += cov
+    contig.mw_sup += sup
 
 
 def _register_arms(lib):

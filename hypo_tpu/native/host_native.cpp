@@ -371,6 +371,114 @@ void hypo_skmer_support(const int64_t* positions, const int64_t* kids,
 }
 
 // ---------------------------------------------------------------------
+// Per-MegaWindow minimizer tables (reference
+// Contig::initialise_minimserinfo, src/Contig.cpp:455-524): forward-
+// strand minimizers (k=mk, w=mw) of each MW's draft slice, keeping
+// only values unique within the MW and not poly-base; emitted with
+// CONTIG-ABSOLUTE positions into one flat store (OpenMP over MWs).
+// Replaces ~1M per-MW Python objects + scans at 100 Mbp scale.
+namespace {
+struct MwMin {
+    std::vector<int64_t> off;   // [n_mw + 1]
+    std::vector<int64_t> vals;
+    std::vector<int64_t> pos;   // contig-absolute minimizer starts
+};
+}  // namespace
+
+void* hypo_mw_minimizer_build(
+    const uint8_t* codes,            // contig draft (byte codes, may have N)
+    const int64_t* beg, const int64_t* end, int64_t n_mw,
+    int mk, int mw_w, int64_t min_len,
+    const int64_t* poly, int n_poly, int nthreads) {
+#ifdef _OPENMP
+    if (nthreads > 0) omp_set_num_threads(nthreads);
+#endif
+    auto* R = new MwMin();
+    const uint64_t mask = (1ULL << (2 * mk)) - 1;
+    std::vector<std::vector<int64_t>> pvals(n_mw), ppos(n_mw);
+#pragma omp parallel
+    {
+        std::vector<std::pair<uint64_t, int64_t>> deque;
+        std::vector<std::pair<uint64_t, int64_t>> kept;  // (val, pos)
+        std::vector<std::pair<uint64_t, int64_t>> srt;
+#pragma omp for schedule(dynamic, 16)
+        for (int64_t s = 0; s < n_mw; ++s) {
+            const int64_t b = beg[s], e = end[s];
+            if (e - b <= min_len) continue;    // small MW: empty table
+            kept.clear();
+            deque.clear();
+            // N semantics follow the minimizer_scan_ref oracle
+            // (reference src/Contig.cpp:474-502): N resets only the
+            // not-N run counter; the rolling kmer, deque and processed
+            // counter are NOT reset
+            uint64_t fwd = 0;
+            int64_t processed = 0, last_pos = e + 1, valid_run = 0;
+            size_t head = 0;
+            for (int64_t i = b; i < e; ++i) {
+                const uint8_t c = codes[i];
+                if (c > 3) { valid_run = 0; continue; }
+                ++valid_run;
+                fwd = ((fwd << 2) | c) & mask;
+                if (valid_run >= mk) {
+                    while (deque.size() > head && deque.back().first > fwd)
+                        deque.pop_back();
+                    deque.emplace_back(fwd, i);
+                    while (deque[head].second + mw_w <= i) ++head;
+                    ++processed;
+                    if (processed >= mw_w) {
+                        const int64_t pos = deque[head].second - mk + 1;
+                        if (pos != last_pos)
+                            kept.emplace_back(deque[head].first, pos);
+                        last_pos = pos;
+                    }
+                }
+            }
+            if (kept.empty()) continue;
+            // uniqueness within the MW + poly filter
+            srt = kept;
+            std::sort(srt.begin(), srt.end());
+            auto& ov = pvals[s];
+            auto& op = ppos[s];
+            for (const auto& kv : kept) {
+                auto lo = std::lower_bound(
+                    srt.begin(), srt.end(),
+                    std::make_pair(kv.first, (int64_t)INT64_MIN));
+                int cnt = 0;
+                for (auto it = lo; it != srt.end() && it->first == kv.first;
+                     ++it)
+                    ++cnt;
+                if (cnt != 1) continue;
+                bool is_poly = false;
+                for (int p = 0; p < n_poly; ++p)
+                    if ((int64_t)kv.first == poly[p]) { is_poly = true;
+                                                       break; }
+                if (is_poly) continue;
+                ov.push_back((int64_t)kv.first);
+                op.push_back(kv.second);
+            }
+        }
+    }
+    R->off.assign(n_mw + 1, 0);
+    for (int64_t s = 0; s < n_mw; ++s)
+        R->off[s + 1] = R->off[s] + (int64_t)pvals[s].size();
+    R->vals.reserve(R->off[n_mw]);
+    R->pos.reserve(R->off[n_mw]);
+    for (int64_t s = 0; s < n_mw; ++s) {
+        R->vals.insert(R->vals.end(), pvals[s].begin(), pvals[s].end());
+        R->pos.insert(R->pos.end(), ppos[s].begin(), ppos[s].end());
+    }
+    return R;
+}
+
+int64_t hypo_mw_min_total(void* h) {
+    return ((MwMin*)h)->off.back();
+}
+const int64_t* hypo_mw_min_off(void* h) { return ((MwMin*)h)->off.data(); }
+const int64_t* hypo_mw_min_vals(void* h) { return ((MwMin*)h)->vals.data(); }
+const int64_t* hypo_mw_min_pos(void* h) { return ((MwMin*)h)->pos.data(); }
+void hypo_mw_min_free(void* h) { delete (MwMin*)h; }
+
+// ---------------------------------------------------------------------
 // Minimizer coverage/support update (reference
 // Alignment::update_minimisers_support, src/Alignment.cpp:134-220).
 //

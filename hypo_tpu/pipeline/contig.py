@@ -15,7 +15,7 @@ import numpy as np
 from ..config import ARMS_SETTINGS, WindowSettings
 from ..dna import decode, encode
 from ..kmers.solid import SolidKmers
-from ..segment.minimizers import MWMinimizerInfo, build_mw_minimizer_info
+from ..segment.minimizers import build_mw_minimizer_info
 from ..segment.regions import RegionBuilder, RegionType, divide
 from ..segment.solid_pos import find_solid_pos
 from ..segment.sr import find_strong_regions
@@ -38,8 +38,12 @@ class Contig:
         self.len_sr = 0
         self.is_win_even = True
         self.stage1_starts: Optional[np.ndarray] = None
-        self.minfos: List[MWMinimizerInfo] = []
-        self.mw_base_pos: List[int] = []
+        # flat per-MegaWindow minimizer store (see _build_mw_minimizers)
+        self.mw_off: Optional[np.ndarray] = None
+        self.mw_vals: Optional[np.ndarray] = None
+        self.mw_pos: Optional[np.ndarray] = None
+        self.mw_cov: Optional[np.ndarray] = None
+        self.mw_sup: Optional[np.ndarray] = None
         self.reg_starts: Optional[np.ndarray] = None
         self.reg_type: Optional[List[int]] = None
         self.reg_info: Optional[List[int]] = None
@@ -68,30 +72,20 @@ class Contig:
         self.is_win_even = not (sr.num_sr > 0 and int(sr_pos[0]) == 0)
 
         starts: List[int] = [0]
-        self.minfos = []
-        self.mw_base_pos = []
-
-        def add_mw(beg: int, end: int) -> None:
-            mw_len = end - beg
-            if mw_len > ws.ideal_swind_size:
-                self.minfos.append(
-                    build_mw_minimizer_info(self.codes[beg:end]))
-            else:
-                self.minfos.append(MWMinimizerInfo(
-                    np.zeros(0, np.int64), np.zeros(0, np.int64),
-                    np.zeros(0, np.int32), np.zeros(0, np.int32)))
-            self.mw_base_pos.append(beg)
-
-        bounded = np.concatenate([sr_pos, [clen]]).astype(np.int64)
-        if self.is_win_even:
-            add_mw(0, int(bounded[0]))
+        mw_begs: List[int] = [0] if self.is_win_even else []
+        mw_ends: List[int] = ([int(sr_pos[0]) if sr.num_sr else clen]
+                              if self.is_win_even else [])
         for i in range(sr.num_sr):
             s = int(sr_pos[i])
             e = s + int(sr_len[i])
             starts.append(s)
             starts.append(e)
-            add_mw(e, int(bounded[i + 1]))
+            mw_begs.append(e)
+            mw_ends.append(int(sr_pos[i + 1]) if i + 1 < sr.num_sr
+                           else clen)
         starts.append(clen)
+        self._build_mw_minimizers(np.array(mw_begs, np.int64),
+                                  np.array(mw_ends, np.int64), ws)
         uniq = sorted(set(starts))
         self.stage1_starts = np.array(uniq, dtype=np.int64)
         # free solid-position state (reference does the same)
@@ -99,6 +93,40 @@ class Contig:
         self.kids = None
         self.kmer_coverage = None
         self.kmer_support = None
+
+    def _build_mw_minimizers(self, begs: np.ndarray, ends: np.ndarray,
+                             ws: WindowSettings) -> None:
+        """Per-MegaWindow minimizer tables as ONE flat store
+        (mw_off/mw_vals/mw_pos with contig-absolute positions +
+        mw_cov/mw_sup accumulators) — the initialise_minimserinfo role
+        (Contig.cpp:455-524) without ~1M per-MW Python objects.  MWs
+        not longer than the ideal window get empty tables."""
+        from ..config import MINIMIZER_SETTINGS as MS
+        from ..segment.minimizers import _POLY
+        from ..native import host_api
+        if host_api.available() and len(begs):
+            off, vals, pos = host_api.mw_minimizer_build(
+                self.codes, begs, ends, MS.k, MS.w,
+                ws.ideal_swind_size, np.array(_POLY, np.int64))
+        else:
+            off = np.zeros(len(begs) + 1, np.int64)
+            vs: List[np.ndarray] = []
+            ps: List[np.ndarray] = []
+            for i in range(len(begs)):
+                b, e = int(begs[i]), int(ends[i])
+                if e - b > ws.ideal_swind_size:
+                    mi = build_mw_minimizer_info(self.codes[b:e])
+                    vs.append(mi.minimisers)
+                    ps.append(b + np.cumsum(mi.rel_pos))
+                off[i + 1] = off[i] + (len(vs[-1]) if e - b >
+                                       ws.ideal_swind_size else 0)
+            vals = (np.concatenate(vs) if vs else np.zeros(0, np.int64))
+            pos = (np.concatenate(ps) if ps else np.zeros(0, np.int64))
+        self.mw_off = off
+        self.mw_vals = vals
+        self.mw_pos = pos
+        self.mw_cov = np.zeros(len(vals), np.int32)
+        self.mw_sup = np.zeros(len(vals), np.int32)
 
     # -- stage: region division (Contig.cpp:187-245) ----------------------
     def divide_into_regions(self, ws: WindowSettings) -> None:
@@ -112,16 +140,22 @@ class Contig:
                 pvs = "n" if j == 0 else "s"
                 nxt = "n" if e == clen else "s"
                 minfoidx = j // 2 if self.is_win_even else (j - 1) // 2
-                divide(builder, self.codes, self.minfos[minfoidx], s, e,
-                       pvs, nxt, ws)
+                o0 = int(self.mw_off[minfoidx])
+                o1 = int(self.mw_off[minfoidx + 1])
+                divide(builder, self.codes, self.mw_vals[o0:o1],
+                       self.mw_pos[o0:o1], self.mw_cov[o0:o1],
+                       self.mw_sup[o0:o1], s, e, pvs, nxt, ws)
             else:  # an SR
                 builder.add(s, RegionType.SR, sr_rank)
                 sr_rank += 1
         self.reg_starts = np.array(builder.starts + [clen], dtype=np.int64)
         self.reg_type = builder.types + [RegionType.SR]
         self.reg_info = builder.infos
-        self.minfos = []
-        self.mw_base_pos = []
+        self.mw_off = None
+        self.mw_vals = None
+        self.mw_pos = None
+        self.mw_cov = None
+        self.mw_sup = None
         self.windows = []
         for i, t in enumerate(self.reg_type[:-1]):
             if t in (RegionType.SR, RegionType.MSR):

@@ -50,26 +50,29 @@ class RegionBuilder:
         self.infos.append(int(info))
 
 
-def divide(builder: RegionBuilder, codes: np.ndarray, minfo, beg: int,
-           end: int, pvs: str, nxt: str, ws: WindowSettings) -> None:
-    """Divide MegaWindow [beg, end) at supported minimizers."""
+def divide(builder: RegionBuilder, codes: np.ndarray, m_vals, m_pos,
+           m_cov, m_sup, beg: int, end: int, pvs: str, nxt: str,
+           ws: WindowSettings) -> None:
+    """Divide MegaWindow [beg, end) at supported minimizers.  The MW's
+    minimizer table arrives as flat array slices (values, contig-
+    absolute positions, coverage, support)."""
     ideal = ws.ideal_swind_size
     mk = MS.k
     too_large = 2 * ideal
 
     # collect supported minimizers (cov>=th, supp >= floor(0.8*cov),
-    # not adjacent to the next SR)
-    supp_pos: List[int] = []
-    supp_min: List[int] = []
-    pos = beg
-    for mi in range(len(minfo.rel_pos)):
-        pos += int(minfo.rel_pos[mi])
-        cov = int(minfo.coverage[mi])
-        if cov >= MS.cov_th:
-            supp_th = int(MS.supp_frac * cov)
-            if int(minfo.support[mi]) >= supp_th and pos + mk < end:
-                supp_pos.append(pos)
-                supp_min.append(int(minfo.minimisers[mi]))
+    # not adjacent to the next SR) — vectorized over the MW's table
+    if len(m_vals):
+        cov64 = m_cov.astype(np.int64)
+        keep = ((cov64 >= MS.cov_th)
+                & (m_sup.astype(np.int64)
+                   >= (MS.supp_frac * cov64).astype(np.int64))
+                & (m_pos + mk < end))
+        supp_pos = m_pos[keep].tolist()
+        supp_min = m_vals[keep].tolist()
+    else:
+        supp_pos = []
+        supp_min = []
 
     # pick cutting minimizers greedily at <= ideal spacing
     remaining = end - beg

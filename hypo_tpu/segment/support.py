@@ -85,18 +85,15 @@ def update_solidkmers_support(contig, alignments: Iterable, k: int) -> None:
 
 
 def update_minimisers_support(contig, alignments: Iterable) -> None:
-    """Accumulate minfo.coverage / minfo.support for every MegaWindow
-    overlapped by each alignment (reference Alignment.cpp:134-220)."""
+    """Accumulate mw_cov / mw_sup for every MegaWindow overlapped by
+    each alignment (reference Alignment.cpp:134-220), over the contig's
+    flat minimizer store (mw_off/mw_vals/mw_pos)."""
     mk, mw = MS.k, MS.w
     starts = contig.stage1_starts     # region boundary positions
     is_win_even = contig.is_win_even
     nreg = len(starts) - 1            # excluding the dummy
-
-    # precompute per-MW absolute minimizer positions
-    mw_abs: List[np.ndarray] = []
-    for idx, minfo in enumerate(contig.minfos):
-        base = contig.mw_base_pos[idx]
-        mw_abs.append(base + np.cumsum(minfo.rel_pos))
+    mw_off = contig.mw_off
+    n_mw = len(mw_off) - 1
 
     for aln in alignments:
         rb, re = aln.rb, aln.re
@@ -116,18 +113,18 @@ def update_minimisers_support(contig, alignments: Iterable) -> None:
             if i >= nreg:
                 break
             minfoidx = i // 2 if is_win_even else (i - 1) // 2
-            if minfoidx >= len(contig.minfos):
+            if minfoidx >= n_mw:
                 break
-            minfo = contig.minfos[minfoidx]
-            abs_pos = mw_abs[minfoidx]
-            if len(abs_pos) == 0:
+            o0, o1 = int(mw_off[minfoidx]), int(mw_off[minfoidx + 1])
+            if o0 == o1:
                 continue
+            abs_pos = contig.mw_pos[o0:o1]
             within = (abs_pos >= rb) & (abs_pos < re)
             idxs = np.nonzero(within)[0]
-            np.add.at(minfo.coverage, idxs, 1)
+            np.add.at(contig.mw_cov, o0 + idxs, 1)
             if len(rvals) == 0 or len(idxs) == 0:
                 continue
-            vals = minfo.minimisers[idxs]
+            vals = contig.mw_vals[o0 + idxs]
             c_dist = abs_pos[idxs] - rb
             r_left = np.maximum(c_dist - 2 * mk, 0)
             r_right = np.minimum(num_cbases, c_dist + 3 * mk)
@@ -136,5 +133,5 @@ def update_minimisers_support(contig, alignments: Iterable) -> None:
             for t in range(len(idxs)):
                 if hi[t] > lo[t]:
                     pp = rp_by_val[lo[t]:hi[t]]
-                    minfo.support[idxs[t]] += int(
+                    contig.mw_sup[o0 + idxs[t]] += int(
                         ((pp >= r_left[t]) & (pp <= r_right[t])).sum())

@@ -87,14 +87,21 @@ def _fake_contig_for_minimizer(rng, n):
     starts = np.concatenate([[0], cuts, [n]]).astype(np.int64)
     c.stage1_starts = starts
     c.is_win_even = True  # regions 0,2,4,... are MegaWindows
-    c.minfos = []
-    c.mw_base_pos = []
     nreg = len(starts) - 1
+    vs, ps = [], []
+    off = [0]
     for j in range(nreg):
         if (j % 2 == 0) == c.is_win_even:
             s, e = int(starts[j]), int(starts[j + 1])
-            c.minfos.append(build_mw_minimizer_info(c.genome[s:e]))
-            c.mw_base_pos.append(s)
+            mi = build_mw_minimizer_info(c.genome[s:e])
+            vs.append(mi.minimisers)
+            ps.append(s + np.cumsum(mi.rel_pos))
+            off.append(off[-1] + len(mi.minimisers))
+    c.mw_off = np.array(off, np.int64)
+    c.mw_vals = (np.concatenate(vs) if vs else np.zeros(0, np.int64))
+    c.mw_pos = (np.concatenate(ps) if ps else np.zeros(0, np.int64))
+    c.mw_cov = np.zeros(len(c.mw_vals), np.int32)
+    c.mw_sup = np.zeros(len(c.mw_vals), np.int32)
     return c
 
 
@@ -115,6 +122,35 @@ def test_minimizer_support_parity():
         alns.append(FakeAln(codes, rb, re))
     update_minimisers_support(c1, alns)
     host_api.minimizer_support(c2, alns, MS.k, MS.w, nthreads=4)
-    for m1, m2 in zip(c1.minfos, c2.minfos):
-        assert np.array_equal(m1.coverage, m2.coverage)
-        assert np.array_equal(m1.support, m2.support)
+    assert np.array_equal(c1.mw_cov, c2.mw_cov)
+    assert np.array_equal(c1.mw_sup, c2.mw_sup)
+
+
+def test_mw_minimizer_build_parity():
+    """Native flat MW-minimizer builder == the per-MW python oracle
+    (build_mw_minimizer_info), including N handling and poly/unique
+    filters."""
+    from hypo_tpu.config import MINIMIZER_SETTINGS as MS2
+    from hypo_tpu.segment.minimizers import _POLY, build_mw_minimizer_info
+    rng = np.random.default_rng(7)
+    n = 20000
+    genome = _random_genome(rng, n)
+    genome[rng.integers(0, n, 25)] = 4          # sprinkle N
+    cuts = np.sort(rng.choice(np.arange(100, n - 100), 29, replace=False))
+    bounds = np.concatenate([[0], cuts, [n]]).astype(np.int64)
+    begs, ends = bounds[:-1], bounds[1:]
+    min_len = 100
+    off, vals, pos = host_api.mw_minimizer_build(
+        genome, begs, ends, MS2.k, MS2.w, min_len,
+        np.array(_POLY, np.int64), nthreads=4)
+    for i in range(len(begs)):
+        b, e = int(begs[i]), int(ends[i])
+        got_v = vals[off[i]:off[i + 1]]
+        got_p = pos[off[i]:off[i + 1]]
+        if e - b <= min_len:
+            assert len(got_v) == 0
+            continue
+        mi = build_mw_minimizer_info(genome[b:e])
+        assert np.array_equal(got_v, mi.minimisers), f"MW {i} values"
+        assert np.array_equal(got_p, b + np.cumsum(mi.rel_pos)), \
+            f"MW {i} positions"
