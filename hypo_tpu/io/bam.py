@@ -234,8 +234,8 @@ def _read_sam(path: str):
 # ---------------------------------------------------------------------------
 # Writing (used by the simulator/tests and as a general utility)
 
-def _bgzf_block(payload: bytes) -> bytes:
-    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+def _bgzf_block(payload: bytes, level: int = 6) -> bytes:
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
     comp = co.compress(payload) + co.flush()
     bsize = len(comp) + 25  # total block (hdr 18 + crc 4 + isize 4) - 1
     hdr = struct.pack("<BBBBIBBHBBHH", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF, 6,
@@ -270,7 +270,30 @@ def write_sam(path: str, refs: List[Tuple[str, int]],
             fh.write(_sam_line(rec, refs) + "\n")
 
 
-def write_bam(path: str, refs: List[Tuple[str, int]], records) -> None:
+class BgzfWriter:
+    """Streaming BGZF writer (fixed 60000-byte payload blocks)."""
+
+    def __init__(self, path: str, level: int = 6):
+        self._fh = open(path, "wb")
+        self._buf = bytearray()
+        self._level = level
+
+    def write(self, data) -> None:
+        self._buf += data
+        while len(self._buf) >= 60000:
+            self._fh.write(_bgzf_block(bytes(self._buf[:60000]),
+                                       self._level))
+            del self._buf[:60000]
+
+    def close(self) -> None:
+        if self._buf:
+            self._fh.write(_bgzf_block(bytes(self._buf), self._level))
+            self._buf = bytearray()
+        self._fh.write(_BGZF_EOF)
+        self._fh.close()
+
+
+def bam_header_bytes(refs: List[Tuple[str, int]]) -> bytes:
     body = bytearray()
     text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
         f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in refs)
@@ -281,8 +304,11 @@ def write_bam(path: str, refs: List[Tuple[str, int]], records) -> None:
     for name, ln in refs:
         nb = name.encode("ascii") + b"\x00"
         body += struct.pack("<i", len(nb)) + nb + struct.pack("<i", ln)
+    return bytes(body)
 
-    blocks = [bytes(body)]
+
+def write_bam(path: str, refs: List[Tuple[str, int]], records) -> None:
+    blocks = [bam_header_bytes(refs)]
     for rec in records:
         qn = rec.qname.encode("ascii") + b"\x00"
         l_seq = len(rec.seq_codes)
@@ -301,13 +327,7 @@ def write_bam(path: str, refs: List[Tuple[str, int]], records) -> None:
                            -1, -1, 0) + qn + cig + packed + qual + aux
         blocks.append(struct.pack("<i", len(data)) + data)
 
-    with open(path, "wb") as fh:
-        buf = bytearray()
-        for blk in blocks:
-            buf += blk
-            while len(buf) >= 60000:
-                fh.write(_bgzf_block(bytes(buf[:60000])))
-                del buf[:60000]
-        if buf:
-            fh.write(_bgzf_block(bytes(buf)))
-        fh.write(_BGZF_EOF)
+    w = BgzfWriter(path)
+    for blk in blocks:
+        w.write(blk)
+    w.close()

@@ -86,6 +86,26 @@ def _load():
             getattr(lib, nm).restype = _i64p
             getattr(lib, nm).argtypes = [ctypes.c_void_p]
         lib.hypo_mw_min_free.argtypes = [ctypes.c_void_p]
+        lib.hypo_sim_reads.restype = ctypes.c_void_p
+        lib.hypo_sim_reads.argtypes = [
+            _u8p, ctypes.c_int64, _u8p, _i64p, _i64p,
+            _i64p, _u8p, _i64p, _i64p,
+            _i64p, _u8p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_int64,
+            _i64p, _i64p, _u8p, _u8p, ctypes.c_int]
+        for nm in ("hypo_sim_bam_size", "hypo_sim_fastq_size",
+                   "hypo_sim_nrec"):
+            getattr(lib, nm).restype = ctypes.c_int64
+            getattr(lib, nm).argtypes = [ctypes.c_void_p]
+        lib.hypo_sim_bam.restype = _u8p
+        lib.hypo_sim_bam.argtypes = [ctypes.c_void_p]
+        lib.hypo_sim_fastq.restype = ctypes.POINTER(ctypes.c_char)
+        lib.hypo_sim_fastq.argtypes = [ctypes.c_void_p]
+        lib.hypo_sim_rec_pos.restype = _i64p
+        lib.hypo_sim_rec_pos.argtypes = [ctypes.c_void_p]
+        lib.hypo_sim_rec_off.restype = _i64p
+        lib.hypo_sim_rec_off.argtypes = [ctypes.c_void_p]
+        lib.hypo_sim_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -546,3 +566,43 @@ def find_arms(contig, alignments: List, k: int, mk: int, is_long: bool,
     at = np.ctypeslib.as_array(lib.hypo_arms_type(h), (n,)).copy()
     lib.hypo_arms_free(h)
     return aln, windex, qb, qe, at
+
+
+def sim_reads(g, dbase, t2d, ins_dpos, ev_t, ev_kind, d_lo, d_hi,
+              starts, revs, rlen: int, tid: int, prefix: str,
+              name0: int, qoff, q_t, q_kind, q_base,
+              nthreads: int = 0):
+    """Native simulator read composer (twin of sim._compose_read + BAM/
+    FASTQ serialization).  Returns (bam_blob bytes, fastq bytes,
+    rec_pos int64[n_rec], rec_off int64[n_rec+1])."""
+    lib = _load()
+    a64 = lambda a: np.ascontiguousarray(a, np.int64)
+    a8 = lambda a: np.ascontiguousarray(a, np.uint8)
+    g = a8(g); dbase = a8(dbase)
+    t2d = a64(t2d); ins_dpos = a64(ins_dpos)
+    ev_t = a64(ev_t); ev_kind = a8(ev_kind)
+    d_lo = a64(d_lo); d_hi = a64(d_hi)
+    starts = a64(starts); revs = a8(revs)
+    qoff = a64(qoff); q_t = a64(q_t)
+    q_kind = a8(q_kind); q_base = a8(q_base)
+    h = lib.hypo_sim_reads(
+        _ptr(g, _u8p), len(g), _ptr(dbase, _u8p), _ptr(t2d, _i64p),
+        _ptr(ins_dpos, _i64p), _ptr(ev_t, _i64p), _ptr(ev_kind, _u8p),
+        _ptr(d_lo, _i64p), _ptr(d_hi, _i64p), _ptr(starts, _i64p),
+        _ptr(revs, _u8p), len(starts), rlen, tid, prefix.encode(),
+        name0, _ptr(qoff, _i64p), _ptr(q_t, _i64p), _ptr(q_kind, _u8p),
+        _ptr(q_base, _u8p), nthreads)
+    try:
+        bam = ctypes.string_at(lib.hypo_sim_bam(h),
+                               int(lib.hypo_sim_bam_size(h)))
+        fq = ctypes.string_at(lib.hypo_sim_fastq(h),
+                              int(lib.hypo_sim_fastq_size(h)))
+        nrec = int(lib.hypo_sim_nrec(h))
+        pos = np.ctypeslib.as_array(lib.hypo_sim_rec_pos(h),
+                                    (nrec,)).copy() if nrec else \
+            np.zeros(0, np.int64)
+        off = np.ctypeslib.as_array(lib.hypo_sim_rec_off(h),
+                                    (nrec + 1,)).copy()
+    finally:
+        lib.hypo_sim_free(h)
+    return bam, fq, pos, off

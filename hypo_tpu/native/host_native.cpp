@@ -13,6 +13,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <string>
 #include <vector>
 
 #ifdef _OPENMP
@@ -369,6 +370,260 @@ void hypo_skmer_support(const int64_t* positions, const int64_t* kids,
         }
     }
 }
+
+// ---------------------------------------------------------------------
+// Simulator read composer (native twin of hypo_tpu.sim._compose_read +
+// the BAM-record/FASTQ serialization of sim.make_reads): composes
+// truth->draft events with truth->read error events per read, emits the
+// uncompressed BAM record stream (coordinate-sorted) and the FASTQ
+// text, OpenMP over reads.  Produces byte-identical output to the
+// Python path (tested); exists because a 1 Gbp / 30x dataset is 300M
+// reads — minutes natively vs days through the per-read Python loop.
+namespace {
+
+struct SimOut {
+    std::vector<uint8_t> bam;    // concatenated length-prefixed records
+    std::vector<char> fastq;     // @name\nSEQ\n+\nIII...\n per read
+    std::vector<int64_t> rec_pos;   // per emitted record (bam order)
+    std::vector<int64_t> rec_off;   // [n_rec + 1] offsets into bam
+};
+
+struct ComposedRead {
+    std::vector<uint8_t> read;
+    std::vector<uint8_t> ops;
+    std::vector<uint32_t> lens;
+    int64_t pos = -1;
+    int nm = 0;
+};
+
+constexpr uint8_t kSimNib[5] = {1, 2, 4, 8, 15};
+
+void compose_read(
+    int64_t s, int64_t e, const uint8_t* g, const uint8_t* dbase,
+    const int64_t* t2d, const int64_t* ins_dpos,
+    const int64_t* d_ev_t, const uint8_t* d_kind, int64_t nd,
+    const int64_t* q_t, const uint8_t* q_kind, const uint8_t* q_base,
+    int64_t nq, ComposedRead& out) {
+    out.read.clear(); out.ops.clear(); out.lens.clear();
+    out.pos = -1; out.nm = 0;
+    // merge event columns by truth coordinate (d and q arrays are
+    // sorted; q may repeat a coordinate — the LAST entry wins, matching
+    // the python dict semantics)
+    auto emit = [&](uint8_t op, uint32_t ln) {
+        if (!out.ops.empty() && out.ops.back() == op)
+            out.lens.back() += ln;
+        else { out.ops.push_back(op); out.lens.push_back(ln); }
+    };
+    int64_t di = 0, qi = 0, prev = s;
+    while (true) {
+        // next event column >= prev
+        int64_t t = INT64_MAX;
+        if (di < nd) t = std::min(t, d_ev_t[di]);
+        if (qi < nq) t = std::min(t, q_t[qi]);
+        if (t == INT64_MAX || t >= e) break;
+        int dk = -1;
+        bool has_q = false;
+        int qk = -1, qb = 0;
+        while (di < nd && d_ev_t[di] == t) { dk = d_kind[di]; ++di; }
+        while (qi < nq && q_t[qi] == t) {
+            has_q = true; qk = q_kind[qi]; qb = q_base[qi]; ++qi;
+        }
+        if (t > prev) {
+            if (out.pos < 0) out.pos = t2d[prev];
+            emit(0, (uint32_t)(t - prev));
+            out.read.insert(out.read.end(), g + prev, g + t);
+        }
+        if (dk == 1) {               // draft insertion before t
+            if (out.pos < 0) out.pos = ins_dpos[t];
+            emit(2, 1);
+            ++out.nm;
+        }
+        if (has_q && qk == 1) {      // read insertion before t
+            emit(1, 1);
+            ++out.nm;
+            out.read.push_back((uint8_t)qb);
+        }
+        const bool q_emits = !has_q || qk != 2;
+        const bool r_emits = dk != 2;
+        uint8_t bq = 0;
+        if (q_emits) bq = (!has_q || qk != 0) ? g[t] : (uint8_t)qb;
+        if (q_emits && r_emits) {
+            if (out.pos < 0) out.pos = t2d[t];
+            emit(0, 1);
+            out.nm += (bq != dbase[t]) ? 1 : 0;
+            out.read.push_back(bq);
+        } else if (r_emits) {
+            if (out.pos < 0) out.pos = t2d[t];
+            emit(2, 1);
+            ++out.nm;
+        } else if (q_emits) {
+            emit(1, 1);
+            ++out.nm;
+            out.read.push_back(bq);
+        }
+        prev = t + 1;
+    }
+    if (prev < e) {
+        if (out.pos < 0) out.pos = t2d[prev];
+        emit(0, (uint32_t)(e - prev));
+        out.read.insert(out.read.end(), g + prev, g + e);
+    }
+    // trim boundary deletions (real aligners never emit them)
+    size_t lo = 0;
+    while (lo < out.ops.size() && out.ops[lo] == 2) {
+        out.pos += out.lens[lo];
+        out.nm -= out.lens[lo];
+        ++lo;
+    }
+    size_t hi = out.ops.size();
+    while (hi > lo && out.ops[hi - 1] == 2) {
+        --hi;
+        out.nm -= out.lens[hi];
+    }
+    if (lo > 0 || hi < out.ops.size()) {
+        out.ops.assign(out.ops.begin() + lo, out.ops.begin() + hi);
+        out.lens.assign(out.lens.begin() + lo, out.lens.begin() + hi);
+    }
+}
+
+}  // namespace
+
+void* hypo_sim_reads(
+    const uint8_t* g, int64_t glen, const uint8_t* dbase,
+    const int64_t* t2d, const int64_t* ins_dpos,
+    const int64_t* ev_t, const uint8_t* ev_kind,
+    const int64_t* d_lo, const int64_t* d_hi,
+    const int64_t* starts, const uint8_t* revs, int64_t n_reads,
+    int rlen, int tid, const char* prefix, int64_t name0,
+    const int64_t* qoff, const int64_t* q_t, const uint8_t* q_kind,
+    const uint8_t* q_base, int nthreads) {
+#ifdef _OPENMP
+    if (nthreads > 0) omp_set_num_threads(nthreads);
+#endif
+    (void)glen;
+    auto* R = new SimOut();
+    std::vector<ComposedRead> reads((size_t)n_reads);
+#pragma omp parallel for schedule(dynamic, 1024)
+    for (int64_t i = 0; i < n_reads; ++i) {
+        const int64_t s = starts[i];
+        compose_read(s, s + rlen, g, dbase, t2d, ins_dpos,
+                     ev_t + d_lo[i], ev_kind + d_lo[i],
+                     d_hi[i] - d_lo[i],
+                     q_t + qoff[i], q_kind + qoff[i], q_base + qoff[i],
+                     qoff[i + 1] - qoff[i], reads[(size_t)i]);
+    }
+    // FASTQ in generation order; BAM sorted by pos (stable), matching
+    // the python path's recs.sort(key=(tid,pos)) within this contig
+    static const char* B2A = "ACGT";
+    std::string name;
+    for (int64_t i = 0; i < n_reads; ++i) {
+        const auto& r = reads[(size_t)i];
+        if (r.read.empty() || r.ops.empty()) continue;
+        name = prefix;
+        name += std::to_string(tid);
+        name += '_';
+        name += std::to_string(name0 + i);
+        R->fastq.push_back('@');
+        R->fastq.insert(R->fastq.end(), name.begin(), name.end());
+        R->fastq.push_back('\n');
+        const size_t L = r.read.size();
+        if (revs[i]) {
+            for (size_t j = L; j > 0; --j)
+                R->fastq.push_back(B2A[3 - r.read[j - 1]]);
+        } else {
+            for (size_t j = 0; j < L; ++j)
+                R->fastq.push_back(B2A[r.read[j]]);
+        }
+        R->fastq.push_back('\n');
+        R->fastq.push_back('+');
+        R->fastq.push_back('\n');
+        R->fastq.insert(R->fastq.end(), L, 'I');
+        R->fastq.push_back('\n');
+    }
+    std::vector<int64_t> order;
+    order.reserve((size_t)n_reads);
+    for (int64_t i = 0; i < n_reads; ++i)
+        if (!reads[(size_t)i].read.empty() &&
+            !reads[(size_t)i].ops.empty())
+            order.push_back(i);
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) {
+                         return reads[(size_t)a].pos <
+                                reads[(size_t)b].pos;
+                     });
+    auto put32 = [&](uint32_t v) {
+        R->bam.push_back(v & 0xFF);
+        R->bam.push_back((v >> 8) & 0xFF);
+        R->bam.push_back((v >> 16) & 0xFF);
+        R->bam.push_back((v >> 24) & 0xFF);
+    };
+    R->rec_off.push_back(0);
+    for (int64_t i : order) {
+        const auto& r = reads[(size_t)i];
+        R->rec_pos.push_back(r.pos);
+        name = prefix;
+        name += std::to_string(tid);
+        name += '_';
+        name += std::to_string(name0 + i);
+        const uint32_t l_qn = (uint32_t)name.size() + 1;
+        const uint32_t l_seq = (uint32_t)r.read.size();
+        const uint32_t n_cig = (uint32_t)r.ops.size();
+        const uint16_t flag = revs[i] ? 16 : 0;
+        const uint32_t data_len = 32 + l_qn + 4 * n_cig +
+                                  (l_seq + 1) / 2 + l_seq + 7;
+        put32(data_len);
+        put32((uint32_t)tid);
+        put32((uint32_t)r.pos);
+        R->bam.push_back((uint8_t)l_qn);      // l_read_name
+        R->bam.push_back(60);                 // mapq
+        R->bam.push_back(0); R->bam.push_back(0);          // bin
+        R->bam.push_back(n_cig & 0xFF);
+        R->bam.push_back((n_cig >> 8) & 0xFF);
+        R->bam.push_back(flag & 0xFF);
+        R->bam.push_back((flag >> 8) & 0xFF);
+        put32(l_seq);
+        put32((uint32_t)-1);   // mate tid
+        put32((uint32_t)-1);   // mate pos
+        put32(0);              // tlen
+        R->bam.insert(R->bam.end(), name.begin(), name.end());
+        R->bam.push_back(0);
+        for (uint32_t c = 0; c < n_cig; ++c)
+            put32((r.lens[c] << 4) | r.ops[c]);
+        for (uint32_t j = 0; j < l_seq; j += 2) {
+            uint8_t hi_nib = kSimNib[r.read[j]];
+            uint8_t lo_nib =
+                (j + 1 < l_seq) ? kSimNib[r.read[j + 1]] : 0;
+            R->bam.push_back((uint8_t)((hi_nib << 4) | lo_nib));
+        }
+        R->bam.insert(R->bam.end(), l_seq, 0xFF);   // qual
+        R->bam.push_back('N'); R->bam.push_back('M');
+        R->bam.push_back('i');
+        put32((uint32_t)r.nm);
+        R->rec_off.push_back((int64_t)R->bam.size());
+    }
+    return R;
+}
+
+int64_t hypo_sim_bam_size(void* h) {
+    return (int64_t)((SimOut*)h)->bam.size();
+}
+int64_t hypo_sim_nrec(void* h) {
+    return (int64_t)((SimOut*)h)->rec_pos.size();
+}
+const int64_t* hypo_sim_rec_pos(void* h) {
+    return ((SimOut*)h)->rec_pos.data();
+}
+const int64_t* hypo_sim_rec_off(void* h) {
+    return ((SimOut*)h)->rec_off.data();
+}
+int64_t hypo_sim_fastq_size(void* h) {
+    return (int64_t)((SimOut*)h)->fastq.size();
+}
+const uint8_t* hypo_sim_bam(void* h) { return ((SimOut*)h)->bam.data(); }
+const char* hypo_sim_fastq(void* h) {
+    return ((SimOut*)h)->fastq.data();
+}
+void hypo_sim_free(void* h) { delete (SimOut*)h; }
 
 // ---------------------------------------------------------------------
 // Per-MegaWindow minimizer tables (reference

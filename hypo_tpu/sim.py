@@ -276,12 +276,145 @@ def simulate(cfg: SimConfig, out_dir: str) -> dict:
         recs.sort(key=lambda r: (r.tid, r.pos))
         return recs, fastas
 
-    sr_recs, sr_fastas = make_reads(cfg.short_cov, cfg.short_len,
-                                    cfg.short_err, "sr", cfg.dropout)
-    with gzip.open(os.path.join(out_dir, "reads.fq.gz"), "wt") as fh:
-        for name, seq in sr_fastas:
-            fh.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
-    _write_bam(os.path.join(out_dir, "sr.bam"), refs, sr_recs)
+    def make_reads_native(cov: int, rlen: int, err: float, prefix: str,
+                          bam_path: str, fq_path, dropout=None) -> None:
+        """Native-composed twin of make_reads writing BAM (+ optionally
+        FASTQ) directly: per-read composition + record serialization in
+        C (hypo_sim_reads, OpenMP), chunked so a 1 Gbp / 30x dataset
+        (300M reads) streams in bounded memory; chunks are merged into
+        exact global (tid, pos) order (stable), byte-identical to the
+        python path."""
+        import heapq
+        import tempfile
+
+        from .io.bam import BgzfWriter, bam_header_bytes
+        from .native import host_api
+        # level 1: sims are write-once scratch data; at 1 Gbp the
+        # compressor, not the composer, would otherwise dominate
+        bw = BgzfWriter(bam_path, level=1)
+        bw.write(bam_header_bytes(refs))
+        fq = gzip.open(fq_path, "wb", compresslevel=1) if fq_path \
+            else None
+        CHUNK = 2_000_000
+        # beyond this many reads per contig the exact generation-order
+        # record merge (a per-record python heap) is replaced by
+        # sorting the sampled starts: each chunk is then exactly
+        # pos-sorted internally and chunk boundaries overlap by at most
+        # ~rlen bp of leading-deletion trim — fine for the polisher,
+        # which only needs contig-grouped records
+        EXACT_LIMIT = 8_000_000
+        for c, g in enumerate(genomes):
+            dbase, t2d, ins_dpos, ev_t, ev_kind = dmaps[c]
+            n_reads = (len(g) * cov) // rlen
+            starts = rng.integers(0, max(1, len(g) - rlen),
+                                  size=n_reads)
+            if dropout is not None:
+                ds = int(dropout[0] * len(g))
+                de = int(dropout[1] * len(g))
+                for _ in range(50):
+                    bad = (starts + rlen > ds) & (starts < de)
+                    if not bad.any():
+                        break
+                    starts[bad] = rng.integers(
+                        0, max(1, len(g) - rlen), size=int(bad.sum()))
+            exact = n_reads <= EXACT_LIMIT
+            if not exact:
+                starts = np.sort(starts)
+            revs = rng.integers(0, 2, size=n_reads).astype(np.uint8)
+            counts = rng.binomial(rlen, err, size=n_reads)
+            qoff = np.concatenate(
+                [[0], np.cumsum(counts)]).astype(np.int64)
+            total_q = int(qoff[-1])
+            q_rel = rng.integers(0, rlen, size=total_q)
+            q_kind = rng.integers(0, 3, size=total_q)
+            q_t = np.repeat(starts, counts) + q_rel
+            q_base = np.where(
+                q_kind == 0,
+                (g[q_t].astype(np.int64)
+                 + rng.integers(1, 4, size=total_q)) % 4,
+                rng.integers(0, 4, size=total_q)).astype(np.uint8)
+            # the native merge walks events in coordinate order; sort
+            # each read's error events by t (stable: the python dict's
+            # last-entry-wins semantics survive)
+            read_idx = np.repeat(np.arange(n_reads), counts)
+            o = np.lexsort((np.arange(total_q), q_t, read_idx))
+            q_t = q_t[o]
+            q_kind = q_kind[o].astype(np.uint8)
+            q_base = q_base[o]
+            d_lo = np.searchsorted(ev_t, starts)
+            d_hi = np.searchsorted(ev_t, starts + rlen)
+            if not exact:
+                # pos-sorted chunk stream: compose, append, free
+                for lo in range(0, n_reads, CHUNK):
+                    hi = min(lo + CHUNK, n_reads)
+                    blob, fq_txt, _pos, _off = host_api.sim_reads(
+                        g, dbase, t2d, ins_dpos, ev_t, ev_kind,
+                        d_lo[lo:hi], d_hi[lo:hi], starts[lo:hi],
+                        revs[lo:hi], rlen, c, prefix, lo,
+                        qoff[lo:hi + 1] - qoff[lo],
+                        q_t[qoff[lo]:qoff[hi]],
+                        q_kind[qoff[lo]:qoff[hi]],
+                        q_base[qoff[lo]:qoff[hi]])
+                    if fq is not None:
+                        fq.write(fq_txt)
+                    bw.write(blob)
+                continue
+            chunks = []      # (tmpfile | bytes, pos int64[], off [])
+            n_chunks = (n_reads + CHUNK - 1) // CHUNK
+            for lo in range(0, n_reads, CHUNK):
+                hi = min(lo + CHUNK, n_reads)
+                blob, fq_txt, pos, off = host_api.sim_reads(
+                    g, dbase, t2d, ins_dpos, ev_t, ev_kind,
+                    d_lo[lo:hi], d_hi[lo:hi], starts[lo:hi],
+                    revs[lo:hi], rlen, c, prefix, lo,
+                    qoff[lo:hi + 1] - qoff[lo],
+                    q_t[qoff[lo]:qoff[hi]], q_kind[qoff[lo]:qoff[hi]],
+                    q_base[qoff[lo]:qoff[hi]])
+                if fq is not None:
+                    fq.write(fq_txt)
+                if n_chunks == 1:
+                    chunks.append((blob, pos, off))
+                else:
+                    tf = tempfile.TemporaryFile(dir=out_dir)
+                    tf.write(blob)
+                    tf.seek(0)
+                    chunks.append((tf, pos, off))
+            # exact global stable merge by pos (ties: chunk order =
+            # generation order, matching python's stable sort)
+            heap = []
+            for ci_, (src, pos, off) in enumerate(chunks):
+                if len(pos):
+                    heapq.heappush(heap, (int(pos[0]), ci_, 0))
+            while heap:
+                _p, ci_, ri = heapq.heappop(heap)
+                src, pos, off = chunks[ci_]
+                o0, o1 = int(off[ri]), int(off[ri + 1])
+                bw.write(src[o0:o1] if isinstance(src, bytes)
+                         else src.read(o1 - o0))
+                if ri + 1 < len(pos):
+                    heapq.heappush(heap, (int(pos[ri + 1]), ci_, ri + 1))
+            for src, _pos, _off in chunks:
+                if not isinstance(src, bytes):
+                    src.close()
+        bw.close()
+        if fq is not None:
+            fq.close()
+
+    from .native import host_api as _host_api
+    use_native_sim = (_host_api.available()
+                      and not os.environ.get("HYPO_SIM_PYTHON"))
+    if use_native_sim:
+        make_reads_native(cfg.short_cov, cfg.short_len, cfg.short_err,
+                          "sr", os.path.join(out_dir, "sr.bam"),
+                          os.path.join(out_dir, "reads.fq.gz"),
+                          cfg.dropout)
+    else:
+        sr_recs, sr_fastas = make_reads(cfg.short_cov, cfg.short_len,
+                                        cfg.short_err, "sr", cfg.dropout)
+        with gzip.open(os.path.join(out_dir, "reads.fq.gz"), "wt") as fh:
+            for name, seq in sr_fastas:
+                fh.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
+        _write_bam(os.path.join(out_dir, "sr.bam"), refs, sr_recs)
 
     out = {
         "truth": os.path.join(out_dir, "truth.fa"),
@@ -293,9 +426,14 @@ def simulate(cfg: SimConfig, out_dir: str) -> dict:
         "short_cov": cfg.short_cov,
     }
     if cfg.long_cov > 0:
-        lr_recs, _ = make_reads(cfg.long_cov, cfg.long_len, cfg.long_err,
-                                "lr")
-        _write_bam(os.path.join(out_dir, "lr.bam"), refs, lr_recs)
+        if use_native_sim:
+            make_reads_native(cfg.long_cov, cfg.long_len, cfg.long_err,
+                              "lr", os.path.join(out_dir, "lr.bam"),
+                              None)
+        else:
+            lr_recs, _ = make_reads(cfg.long_cov, cfg.long_len,
+                                    cfg.long_err, "lr")
+            _write_bam(os.path.join(out_dir, "lr.bam"), refs, lr_recs)
         out["lr_bam"] = os.path.join(out_dir, "lr.bam")
     return out
 
