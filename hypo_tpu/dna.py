@@ -99,15 +99,18 @@ def kmer_codes(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
     n = len(codes)
     if n < k:
         return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=bool))
-    c = (codes & 3).astype(np.int64)
+    c = codes.astype(np.int64)
+    np.bitwise_and(c, 3, out=c)
     bad = (codes > 3)
     # k shifted ORs instead of an int64 matvec (numpy integer matmul has
-    # no BLAS path and is ~100x slower at genome scale)
+    # no BLAS path and is ~100x slower at genome scale); one reused
+    # temp keeps the allocation high-water at 2 arrays
     m = n - k + 1
     kmers = np.zeros(m, dtype=np.int64)
+    tmp = np.empty(m, dtype=np.int64)
     for j in range(k):
-        np.bitwise_or(kmers, c[j:j + m] << np.int64(2 * (k - 1 - j)),
-                      out=kmers)
+        np.left_shift(c[j:j + m], np.int64(2 * (k - 1 - j)), out=tmp)
+        np.bitwise_or(kmers, tmp, out=kmers)
     if bad.any():
         badcum = np.concatenate([[0], np.cumsum(bad)])
         valid = (badcum[k:] - badcum[:-k]) == 0

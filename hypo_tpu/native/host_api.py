@@ -106,6 +106,17 @@ def _load():
         lib.hypo_sim_rec_off.restype = _i64p
         lib.hypo_sim_rec_off.argtypes = [ctypes.c_void_p]
         lib.hypo_sim_free.argtypes = [ctypes.c_void_p]
+        _u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.hypo_find_solid_pos.restype = ctypes.c_void_p
+        lib.hypo_find_solid_pos.argtypes = [
+            _u8p, ctypes.c_int64, ctypes.c_int, _u64p, ctypes.c_int]
+        lib.hypo_solid_pos_count.restype = ctypes.c_int64
+        lib.hypo_solid_pos_count.argtypes = [ctypes.c_void_p]
+        lib.hypo_solid_pos_pos.restype = _i64p
+        lib.hypo_solid_pos_pos.argtypes = [ctypes.c_void_p]
+        lib.hypo_solid_pos_kid.restype = _i64p
+        lib.hypo_solid_pos_kid.argtypes = [ctypes.c_void_p]
+        lib.hypo_solid_pos_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -606,3 +617,28 @@ def sim_reads(g, dbase, t2d, ins_dpos, ev_t, ev_kind, d_lo, d_hi,
     finally:
         lib.hypo_sim_free(h)
     return bam, fq, pos, off
+
+
+def find_solid_pos_native(codes: np.ndarray, k: int,
+                          words: np.ndarray, nthreads: int = 0):
+    """Native solid-position scan (twin of segment.solid_pos
+    .find_solid_pos).  words = the solid-kmer Bitset's uint64 words."""
+    lib = _load()
+    codes = np.ascontiguousarray(codes, np.uint8)
+    words = np.ascontiguousarray(words, np.uint64)
+    h = lib.hypo_find_solid_pos(
+        _ptr(codes, _u8p), len(codes), k,
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), nthreads)
+    try:
+        n = int(lib.hypo_solid_pos_count(h))
+        if n:
+            pos = np.ctypeslib.as_array(lib.hypo_solid_pos_pos(h),
+                                        (n,)).copy()
+            kid = np.ctypeslib.as_array(lib.hypo_solid_pos_kid(h),
+                                        (n,)).copy()
+        else:
+            pos = np.zeros(0, np.int64)
+            kid = np.zeros(0, np.int64)
+    finally:
+        lib.hypo_solid_pos_free(h)
+    return pos, kid

@@ -372,6 +372,83 @@ void hypo_skmer_support(const int64_t* positions, const int64_t* kids,
 }
 
 // ---------------------------------------------------------------------
+// Solid-position scan (reference Contig::find_solid_pos,
+// src/Contig.cpp:40-74): rolling k-mer over the draft, solid-bitset
+// membership, homopolymer-terminal exclusion.  One sequential pass over
+// the byte codes — the numpy path materializes several 8x-larger int64
+// temporaries, which on virtualized memory dominates the stage.
+namespace {
+struct SolidPos {
+    std::vector<int64_t> pos;
+    std::vector<int64_t> kid;
+};
+}  // namespace
+
+void* hypo_find_solid_pos(const uint8_t* codes, int64_t n, int k,
+                          const uint64_t* words, int nthreads) {
+#ifdef _OPENMP
+    if (nthreads > 0) omp_set_num_threads(nthreads);
+#else
+    (void)nthreads;
+#endif
+    auto* R = new SolidPos();
+    if (n < k) return R;
+    const int64_t m = n - k + 1;
+    const uint64_t mask =
+        (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+    const int nchunks =
+#ifdef _OPENMP
+        std::max(1, std::min((int)((m + (1 << 20) - 1) >> 20),
+                             omp_get_max_threads()));
+#else
+        1;
+#endif
+    std::vector<std::vector<int64_t>> ppos(nchunks), pkid(nchunks);
+#pragma omp parallel for schedule(static)
+    for (int c = 0; c < nchunks; ++c) {
+        const int64_t s0 = m * c / nchunks, s1 = m * (c + 1) / nchunks;
+        auto& vp = ppos[c];
+        auto& vk = pkid[c];
+        uint64_t fwd = 0;
+        int64_t run = 0;            // consecutive non-N bases ending here
+        for (int64_t i = s0; i < s1 + k - 1 && i < n; ++i) {
+            const uint8_t b = codes[i];
+            if (b > 3) { run = 0; fwd = 0; continue; }
+            fwd = ((fwd << 2) | b) & mask;
+            ++run;
+            const int64_t s = i - k + 1;
+            if (run < k || s < s0) continue;
+            if (!((words[fwd >> 6] >> (fwd & 63)) & 1)) continue;
+            // HP-terminal exclusion: next base == last, or prev == first
+            if (i + 1 < n && codes[i + 1] == b) continue;
+            if (s > 0 && codes[s - 1] == codes[s]) continue;
+            vp.push_back(s);
+            vk.push_back((int64_t)fwd);
+        }
+    }
+    size_t total = 0;
+    for (auto& v : ppos) total += v.size();
+    R->pos.reserve(total);
+    R->kid.reserve(total);
+    for (int c = 0; c < nchunks; ++c) {
+        R->pos.insert(R->pos.end(), ppos[c].begin(), ppos[c].end());
+        R->kid.insert(R->kid.end(), pkid[c].begin(), pkid[c].end());
+    }
+    return R;
+}
+
+int64_t hypo_solid_pos_count(void* h) {
+    return (int64_t)((SolidPos*)h)->pos.size();
+}
+const int64_t* hypo_solid_pos_pos(void* h) {
+    return ((SolidPos*)h)->pos.data();
+}
+const int64_t* hypo_solid_pos_kid(void* h) {
+    return ((SolidPos*)h)->kid.data();
+}
+void hypo_solid_pos_free(void* h) { delete (SolidPos*)h; }
+
+// ---------------------------------------------------------------------
 // Simulator read composer (native twin of hypo_tpu.sim._compose_read +
 // the BAM-record/FASTQ serialization of sim.make_reads): composes
 // truth->draft events with truth->read error events per read, emits the

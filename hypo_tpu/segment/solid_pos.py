@@ -20,19 +20,20 @@ def find_solid_pos(codes: np.ndarray, sk: SolidKmers
     """Returns (positions int64[], kids int64[]) sorted by position."""
     k = sk.k
     n = len(codes)
+    from ..native import host_api
+    if host_api.available() and n >= k:
+        # single sequential pass over the byte codes; the numpy path
+        # below builds several 8x-larger int64 temporaries per contig
+        return host_api.find_solid_pos_native(codes, k,
+                                              sk.bitset.words)
     km, valid = kmer_codes(codes, k)
     if len(km) == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-    solid = valid & sk.is_solid(np.where(valid, km, 0))
-    # k-mer with start s covers [s, s+k); end base index e = s+k-1
-    starts = np.arange(n - k + 1)
-    ends = starts + k - 1
-    # exclude if base after kmer equals last base of kmer
-    nxt_same = np.zeros(n - k + 1, dtype=bool)
-    nxt_same[:-1] = codes[ends[:-1] + 1] == codes[ends[:-1]]
-    # exclude if base before kmer equals first base of kmer
-    prv_same = np.zeros(n - k + 1, dtype=bool)
-    prv_same[1:] = codes[starts[1:] - 1] == codes[starts[1:]]
-    keep = solid & ~nxt_same & ~prv_same
-    pos = starts[keep].astype(np.int64)
-    return pos, km[keep].astype(np.int64)
+    keep = valid & sk.is_solid(np.where(valid, km, 0))
+    # k-mer with start s covers [s, s+k); end base index e = s+k-1.
+    # Exclude if the base after the kmer equals its last base, or the
+    # base before equals its first base (homopolymer-terminal rule).
+    keep[:-1] &= codes[k:] != codes[k - 1:-1]
+    keep[1:] &= codes[:n - k] != codes[1:n - k + 1]
+    pos = np.flatnonzero(keep)
+    return pos, km[pos]
