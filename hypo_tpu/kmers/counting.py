@@ -136,7 +136,13 @@ def count_files(filenames: List[str], k: int, cap: int = 0xFFFF,
     read files than ranks."""
     import itertools
     counter = KmerCounter(k, cap)
+    from ..native import host_api
     for fn in filenames:
+        if stride == 1 and host_api.available():
+            # native gz->codes stream: no per-read python strings
+            for chunk in host_api.FastxCodeStream(fn):
+                counter.add_codes(chunk)
+            continue
         seqs = (seq for _name, seq in read_fastx(fn))
         if stride > 1:
             seqs = itertools.islice(seqs, offset, None, stride)

@@ -29,7 +29,7 @@ _u8p = ctypes.POINTER(ctypes.c_uint8)
 
 def _build() -> bool:
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fopenmp",
-           "-march=native", _SRC, "-o", _LIB + ".tmp"]
+           "-march=native", _SRC, "-o", _LIB + ".tmp", "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         os.replace(_LIB + ".tmp", _LIB)
@@ -117,6 +117,12 @@ def _load():
         lib.hypo_solid_pos_kid.restype = _i64p
         lib.hypo_solid_pos_kid.argtypes = [ctypes.c_void_p]
         lib.hypo_solid_pos_free.argtypes = [ctypes.c_void_p]
+        lib.hypo_fastx_open.restype = ctypes.c_void_p
+        lib.hypo_fastx_open.argtypes = [ctypes.c_char_p]
+        lib.hypo_fastx_codes.restype = ctypes.c_int64
+        lib.hypo_fastx_codes.argtypes = [ctypes.c_void_p, _u8p,
+                                         ctypes.c_int64]
+        lib.hypo_fastx_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -642,3 +648,37 @@ def find_solid_pos_native(codes: np.ndarray, k: int,
     finally:
         lib.hypo_solid_pos_free(h)
     return pos, kid
+
+
+class FastxCodeStream:
+    """Streamed read codes from a FASTA/FASTQ(.gz): uint8 0..3 with a
+    `4` separator after each read (the kseq role, reference
+    include/kseq.h)."""
+
+    def __init__(self, path: str, chunk: int = 64 << 20):
+        self._lib = _load()
+        self._h = self._lib.hypo_fastx_open(path.encode())
+        if not self._h:
+            raise IOError(f"cannot open {path}")
+        self._buf = np.empty(chunk, np.uint8)
+
+    def __iter__(self):
+        lib = self._lib
+        while True:
+            n = lib.hypo_fastx_codes(self._h, _ptr(self._buf, _u8p),
+                                     len(self._buf))
+            if n <= 0:
+                break
+            yield self._buf[:int(n)]
+        self.close()
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.hypo_fastx_close(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -50,6 +50,16 @@ void hypo_count_kmers_dense(const uint8_t* codes, int64_t n, int k,
 #endif
     const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
     const int shift = 2 * (k - 1);
+    // Radix-buffered increments: at k=13 the 4^k u32 table is 256 MB
+    // and a direct atomic per kmer is one cache/TLB miss each — on
+    // virtualized memory that measured 10-30M increments/s for a
+    // 3 Gbp read set.  Buffering canonical kmers by their top bits and
+    // applying each bucket in one burst keeps every burst inside a
+    // <=1 MB table slice.
+    const int pbits = std::max(0, 2 * k - 18);
+    const int nparts = 1 << pbits;
+    const int psh = 2 * k - pbits;          // canon >> psh = partition
+    constexpr int BUF = 8192;
     // chunk with (k-1) overlap so each thread rebuilds its rolling state
 #pragma omp parallel
     {
@@ -59,11 +69,26 @@ void hypo_count_kmers_dense(const uint8_t* codes, int64_t n, int k,
 #else
         const int tid = 0, nth = 1;
 #endif
+        std::vector<uint32_t> bufs((size_t)nparts * BUF);
+        std::vector<int> fill(nparts, 0);
+        auto apply = [&](int p) {
+            const uint64_t base = (uint64_t)p << psh;
+            uint32_t* b = &bufs[(size_t)p * BUF];
+            const int f = fill[p];
+            for (int x = 0; x < f; ++x) {
+                auto* slot = reinterpret_cast<std::atomic<uint32_t>*>(
+                    &table[base + b[x]]);
+                uint32_t cur = slot->load(std::memory_order_relaxed);
+                while (cur != 0xFFFFFFFFu &&
+                       !slot->compare_exchange_weak(
+                           cur, cur + 1, std::memory_order_relaxed)) {}
+            }
+            fill[p] = 0;
+        };
         const int64_t chunk = (n + nth - 1) / nth;
         const int64_t beg = tid * chunk;
         const int64_t end = std::min(n, beg + chunk);
-        if (beg >= end) goto done;
-        {
+        if (beg < end) {
             // start the scan k-1 bases early to warm the rolling window;
             // only record kmers whose START is in [beg, end)
             int64_t scan0 = std::max<int64_t>(0, beg - (k - 1));
@@ -78,23 +103,19 @@ void hypo_count_kmers_dense(const uint8_t* codes, int64_t n, int k,
                     if (valid >= k) {
                         int64_t start = i - k + 1;
                         if (start >= beg && start < end) {
-                            uint64_t canon = fwd < rc ? fwd : rc;
-                            auto* slot = reinterpret_cast<
-                                std::atomic<uint32_t>*>(&table[canon]);
-                            uint32_t cur = slot->load(
-                                std::memory_order_relaxed);
-                            while (cur != 0xFFFFFFFFu &&
-                                   !slot->compare_exchange_weak(
-                                       cur, cur + 1,
-                                       std::memory_order_relaxed)) {}
+                            const uint64_t canon = fwd < rc ? fwd : rc;
+                            const int p = (int)(canon >> psh);
+                            bufs[(size_t)p * BUF + fill[p]++] =
+                                (uint32_t)(canon & ((1ULL << psh) - 1));
+                            if (fill[p] == BUF) apply(p);
                         }
                     }
                 } else {
                     valid = 0;
                 }
             }
+            for (int p = 0; p < nparts; ++p) apply(p);
         }
-    done:;
     }
 }
 
@@ -369,6 +390,137 @@ void hypo_skmer_support(const int64_t* positions, const int64_t* kids,
             }
         }
     }
+}
+
+// ---------------------------------------------------------------------
+// FASTA/FASTQ (.gz) -> code stream (the kseq role, reference
+// include/kseq.h): parses reads and emits uint8 codes 0..3 with a `4`
+// separator after every read, pulled in caller-sized chunks.  Exists
+// because yielding 30M+ python strings per 100 Mbp read set costs
+// minutes; this streams codes straight into the k-mer counters.
+#include <zlib.h>
+
+namespace {
+
+struct FastxReader {
+    gzFile gz = nullptr;
+    std::vector<char> buf;      // raw line buffer
+    size_t lo = 0, hi = 0;      // window into buf
+    bool fasta = false;
+    bool started = false;
+    int state = 0;   // 0 expect-header, 1 seq, 2 plus, 3 qual
+    bool eof = false;
+
+    bool refill() {
+        if (lo > 0) {
+            std::memmove(buf.data(), buf.data() + lo, hi - lo);
+            hi -= lo;
+            lo = 0;
+        }
+        if (buf.size() - hi < (1 << 16)) buf.resize(buf.size() + (1 << 20));
+        int n = gzread(gz, buf.data() + hi,
+                       (unsigned)(buf.size() - hi));
+        if (n <= 0) return false;
+        hi += (size_t)n;
+        return true;
+    }
+
+    // returns [p0, p1) of the next line (without newline), or false
+    bool next_line(size_t& p0, size_t& p1) {
+        while (true) {
+            for (size_t i = lo; i < hi; ++i) {
+                if (buf[i] == '\n') {
+                    p0 = lo;
+                    p1 = i;
+                    lo = i + 1;
+                    return true;
+                }
+            }
+            if (!refill()) {
+                if (hi > lo) { p0 = lo; p1 = hi; lo = hi; return true; }
+                return false;
+            }
+        }
+    }
+};
+
+struct AsciiInit {
+    uint8_t t[256];
+    AsciiInit() {
+        for (int i = 0; i < 256; ++i) t[i] = 4;
+        t['A'] = t['a'] = 0; t['C'] = t['c'] = 1;
+        t['G'] = t['g'] = 2; t['T'] = t['t'] = 3;
+        t['U'] = t['u'] = 3;
+    }
+};
+const AsciiInit kA2C;
+
+}  // namespace
+
+void* hypo_fastx_open(const char* path) {
+    auto* r = new FastxReader();
+    r->gz = gzopen(path, "rb");
+    if (!r->gz) { delete r; return nullptr; }
+    gzbuffer(r->gz, 1 << 20);
+    r->buf.resize(1 << 20);
+    return r;
+}
+
+// Fill out[0..cap) with read codes + `4` separators; returns the
+// number of codes written (0 = EOF).  A read is never split across
+// calls EXCEPT its trailing separator; cap must exceed the longest
+// read (FASTA contig streaming should use io.fasta instead).
+int64_t hypo_fastx_codes(void* h, uint8_t* out, int64_t cap) {
+    auto* r = (FastxReader*)h;
+    int64_t n = 0;
+    size_t p0, p1;
+    while (true) {
+        if (!r->started) {
+            if (!r->next_line(p0, p1)) return n;
+            r->started = true;
+            r->fasta = (p0 < p1 && r->buf[p0] == '>');
+            r->state = 1;
+            continue;
+        }
+        if (r->fasta) {
+            if (!r->next_line(p0, p1)) {
+                if (r->state == 1 && n < cap) out[n++] = 4;
+                r->state = 0;
+                return n;
+            }
+            if (p0 < p1 && r->buf[p0] == '>') {
+                if (n < cap) out[n++] = 4;      // end previous read
+                if (n + (1 << 16) > cap) return n;
+                continue;
+            }
+            if (n + (int64_t)(p1 - p0) + 1 > cap) {
+                // put the line back and return what we have
+                r->lo = p0;
+                return n;
+            }
+            for (size_t i = p0; i < p1; ++i)
+                out[n++] = kA2C.t[(uint8_t)r->buf[i]];
+        } else {
+            // FASTQ: header already consumed (state machine)
+            if (!r->next_line(p0, p1)) return n;     // seq line
+            if (n + (int64_t)(p1 - p0) + 1 > cap) {
+                r->lo = p0;
+                return n;
+            }
+            for (size_t i = p0; i < p1; ++i)
+                out[n++] = kA2C.t[(uint8_t)r->buf[i]];
+            out[n++] = 4;
+            if (!r->next_line(p0, p1)) return n;     // '+'
+            if (!r->next_line(p0, p1)) return n;     // qual
+            if (!r->next_line(p0, p1)) return n;     // next header
+        }
+    }
+}
+
+void hypo_fastx_close(void* h) {
+    auto* r = (FastxReader*)h;
+    if (r->gz) gzclose(r->gz);
+    delete r;
 }
 
 // ---------------------------------------------------------------------
