@@ -1311,14 +1311,28 @@ void* hypo_find_arms(
     if (nthreads > 0) omp_set_num_threads(nthreads);
 #endif
     auto* res = new ArmsResult();
-    std::vector<std::vector<ArmOut>> per_aln(n_aln);
+    // contiguous per-chunk buffers instead of one std::vector per
+    // alignment (20M tiny heap objects cost GBs of allocator traffic
+    // at 100 Mbp scale); chunk-order concatenation preserves the
+    // (alignment, emission) output order exactly
+    const int nchunks = (int)std::min<int64_t>(
+        std::max<int64_t>(1, n_aln / 4096),
+#ifdef _OPENMP
+        8LL * std::max(1, omp_get_max_threads()));
+#else
+        8LL);
+#endif
+    std::vector<std::vector<ArmOut>> per_chunk(nchunks);
 #pragma omp parallel
     {
         std::vector<int64_t> bp;
         std::vector<uint8_t> qbuf;
-#pragma omp for schedule(dynamic, 64)
-        for (int64_t a = 0; a < n_aln; ++a) {
-            auto& out = per_aln[a];
+#pragma omp for schedule(dynamic, 1)
+        for (int c = 0; c < nchunks; ++c) {
+        auto& out = per_chunk[c];
+        const int64_t a0 = n_aln * c / nchunks;
+        const int64_t a1 = n_aln * (c + 1) / nchunks;
+        for (int64_t a = a0; a < a1; ++a) {
             const int64_t arb = rb[a], are = re[a];
             int64_t b_ind =
                 std::lower_bound(starts, starts + nstarts, arb) - starts;
@@ -1389,8 +1403,16 @@ void* hypo_find_arms(
                 }
             }
         }
+        }
     }
-    for (auto& v : per_aln)
+    size_t total = 0;
+    for (auto& v : per_chunk) total += v.size();
+    res->aln.reserve(total);
+    res->windex.reserve(total);
+    res->qb.reserve(total);
+    res->qe.reserve(total);
+    res->armtype.reserve(total);
+    for (auto& v : per_chunk)
         for (const auto& o : v) {
             res->aln.push_back(o.aln);
             res->windex.push_back(o.windex);

@@ -103,9 +103,14 @@ class FullDeviceRunner(DeviceConsensusRunner):
         from .engine import ConsensusEngine
         self.host_engine = ConsensusEngine(sp, fix_long_align_type,
                                            use_native)
+        import os
+        if os.environ.get("HYPO_POA_NDEV"):
+            self.ndev = int(os.environ["HYPO_POA_NDEV"])
         self.stats.update({"full_dispatches": 0, "full_windows": 0,
                            "full_overflows": 0, "trivial_windows": 0,
-                           "host_long_windows": 0})
+                           "host_long_windows": 0,
+                           "rows_per_device": np.zeros(max(self.ndev, 1),
+                                                       np.int64)})
 
     # -- program warm-up ----------------------------------------------------
     def warm(self, classes=(0,), wait: bool = False):
@@ -398,6 +403,11 @@ class FullDeviceRunner(DeviceConsensusRunner):
                     handles.append((handle, order, lo, hi, row_of, ci))
                     self.stats["full_dispatches"] += 1
                     self.stats["full_windows"] += hi - lo
+                    if self.ndev > 1:
+                        blk = B // self.ndev
+                        self.stats["rows_per_device"] += np.bincount(
+                            row_of[:hi - lo] // blk,
+                            minlength=self.ndev)
                     lo = hi
         if debug:
             print(f"[poa] pack+dispatch: {time.time()-t0:.2f}s "
