@@ -325,10 +325,10 @@ def _register_arms(lib):
         ctypes.c_int64, ctypes.c_int]
     lib.hypo_arms_count.restype = ctypes.c_int64
     lib.hypo_arms_count.argtypes = [ctypes.c_void_p]
-    for name, restype in [("hypo_arms_aln", _i64p),
-                          ("hypo_arms_windex", _i64p),
-                          ("hypo_arms_qb", _i64p),
-                          ("hypo_arms_qe", _i64p),
+    for name, restype in [("hypo_arms_aln", _i32p),
+                          ("hypo_arms_windex", _i32p),
+                          ("hypo_arms_qb", _i32p),
+                          ("hypo_arms_qe", _i32p),
                           ("hypo_arms_type", _u8pp)]:
         fn = getattr(lib, name)
         fn.restype = restype
@@ -381,7 +381,7 @@ def _register_tiles(lib):
     lib.hypo_tile_jobs.restype = ctypes.c_void_p
     lib.hypo_tile_jobs.argtypes = [
         _u8p, _i64p, ctypes.c_int64, _u8p, _u8p,
-        _i64p, _i64p, _i64p, _i64p, _u8p, ctypes.c_int64,
+        _i32p, _i32p, _i32p, _i32p, _u8p, ctypes.c_int64,
         _u8p, _i64p]
     for name, restype in [
             ("hypo_tile_njobs", ctypes.c_int64),
@@ -468,17 +468,17 @@ def tile_jobs(contig_codes: np.ndarray, reg_starts: np.ndarray,
     n_reg = len(reg_starts) - 1
     codes = np.ascontiguousarray(contig_codes, dtype=np.uint8)
     rs = np.ascontiguousarray(reg_starts, dtype=np.int64)
-    wi64 = np.ascontiguousarray(windex, dtype=np.int64)
-    al64 = np.ascontiguousarray(aln_idx, dtype=np.int64)
-    qb64 = np.ascontiguousarray(qb, dtype=np.int64)
-    qe64 = np.ascontiguousarray(qe, dtype=np.int64)
+    wi32 = np.ascontiguousarray(windex, dtype=np.int32)
+    al32 = np.ascontiguousarray(aln_idx, dtype=np.int32)
+    qb32 = np.ascontiguousarray(qb, dtype=np.int32)
+    qe32 = np.ascontiguousarray(qe, dtype=np.int32)
     at8 = np.ascontiguousarray(at, dtype=np.uint8)
     h = lib.hypo_tile_jobs(
         _ptr(codes, _u8p), _ptr(rs, _i64p), n_reg,
         _ptr(np.ascontiguousarray(wflag, np.uint8), _u8p),
         _ptr(np.ascontiguousarray(use_presuf, np.uint8), _u8p),
-        _ptr(wi64, _i64p), _ptr(al64, _i64p), _ptr(qb64, _i64p),
-        _ptr(qe64, _i64p), _ptr(at8, _u8p), len(wi64),
+        _ptr(wi32, _i32p), _ptr(al32, _i32p), _ptr(qb32, _i32p),
+        _ptr(qe32, _i32p), _ptr(at8, _u8p), len(wi32),
         _ptr(np.ascontiguousarray(abuf, np.uint8), _u8p),
         _ptr(np.ascontiguousarray(aoff, np.int64), _i64p))
     res = TileJobs(lib, h, n_reg)
@@ -574,7 +574,7 @@ def find_arms(contig, alignments: List, k: int, mk: int, is_long: bool,
     n = int(lib.hypo_arms_count(h))
     if n == 0:
         lib.hypo_arms_free(h)
-        z = np.zeros(0, dtype=np.int64)
+        z = np.zeros(0, dtype=np.int32)
         return z, z, z, z, np.zeros(0, dtype=np.uint8)
     aln = np.ctypeslib.as_array(lib.hypo_arms_aln(h), (n,)).copy()
     windex = np.ctypeslib.as_array(lib.hypo_arms_windex(h), (n,)).copy()

@@ -1099,15 +1099,18 @@ constexpr int R_SWS = 0, R_SW = 1, R_WS = 2, R_MWM = 3, R_MW = 4,
 constexpr int ARM_INTERNAL = 0, ARM_PREFIX = 1, ARM_SUFFIX = 2,
               ARM_EMPTY = 3;
 
+// int32 throughout: per-batch alignment index < ~100M, region index
+// < ~10M per contig, query offsets < read length — halves the arm
+// table (the largest transient at 100 Mbp is ~23M rows)
 struct ArmOut {
-    int64_t aln;
-    int64_t windex;
-    int64_t qb, qe;
+    int32_t aln;
+    int32_t windex;
+    int32_t qb, qe;
     uint8_t armtype;
 };
 
 struct ArmsResult {
-    std::vector<int64_t> aln, windex, qb, qe;
+    std::vector<int32_t> aln, windex, qb, qe;
     std::vector<uint8_t> armtype;
 };
 
@@ -1289,7 +1292,8 @@ void prepare_short_arm(const uint8_t* q, int64_t qae, int k, int mk,
         }
     }
     if (valid && q_beg < q_end)
-        out.push_back({aln_idx, windex, q_beg, q_end,
+        out.push_back({(int32_t)aln_idx, (int32_t)windex,
+                       (int32_t)q_beg, (int32_t)q_end,
                        (uint8_t)armtype});
 }
 
@@ -1353,7 +1357,8 @@ void* hypo_find_arms(
                 // appended even when zero-length (python parity: the
                 // first/last long arms are never EMPTY-classified)
                 if (rtype[b_ind] != R_SR)
-                    out.push_back({a, true_id[b_ind], 0, bp[0],
+                    out.push_back({(int32_t)a, (int32_t)true_id[b_ind],
+                                   0, (int32_t)bp[0],
                                    (uint8_t)armtype});
             } else if (!sr_like0) {
                 prepare_short_arm(q, qae, k, mk, b_ind, 0, bp[0],
@@ -1369,9 +1374,12 @@ void* hypo_find_arms(
                 if (!sr_like) {
                     const int64_t wx = is_long ? true_id[ind] : ind;
                     if (bp[bp_ind + 1] == bp[bp_ind]) {
-                        out.push_back({a, wx, 0, 0, ARM_EMPTY});
+                        out.push_back({(int32_t)a, (int32_t)wx, 0, 0,
+                                       ARM_EMPTY});
                     } else if (is_long) {
-                        out.push_back({a, wx, bp[bp_ind], bp[bp_ind + 1],
+                        out.push_back({(int32_t)a, (int32_t)wx,
+                                       (int32_t)bp[bp_ind],
+                                       (int32_t)bp[bp_ind + 1],
                                        ARM_INTERNAL});
                     } else {
                         prepare_short_arm(q, qae, k, mk, ind, bp[bp_ind],
@@ -1393,8 +1401,10 @@ void* hypo_find_arms(
                            rtype[e_ind - 1] == R_MSR);
             if (!sr_likeE) {
                 if (is_long) {
-                    out.push_back({a, true_id[e_ind - 1], bp[bp_ind],
-                                   qae, (uint8_t)armtype});
+                    out.push_back({(int32_t)a,
+                                   (int32_t)true_id[e_ind - 1],
+                                   (int32_t)bp[bp_ind], (int32_t)qae,
+                                   (uint8_t)armtype});
                 } else {
                     prepare_short_arm(q, qae, k, mk, e_ind - 1,
                                       bp[bp_ind], qae, armtype, starts,
@@ -1426,10 +1436,10 @@ void* hypo_find_arms(
 int64_t hypo_arms_count(void* h) {
     return (int64_t)((ArmsResult*)h)->aln.size();
 }
-const int64_t* hypo_arms_aln(void* h) { return ((ArmsResult*)h)->aln.data(); }
-const int64_t* hypo_arms_windex(void* h) { return ((ArmsResult*)h)->windex.data(); }
-const int64_t* hypo_arms_qb(void* h) { return ((ArmsResult*)h)->qb.data(); }
-const int64_t* hypo_arms_qe(void* h) { return ((ArmsResult*)h)->qe.data(); }
+const int32_t* hypo_arms_aln(void* h) { return ((ArmsResult*)h)->aln.data(); }
+const int32_t* hypo_arms_windex(void* h) { return ((ArmsResult*)h)->windex.data(); }
+const int32_t* hypo_arms_qb(void* h) { return ((ArmsResult*)h)->qb.data(); }
+const int32_t* hypo_arms_qe(void* h) { return ((ArmsResult*)h)->qe.data(); }
 const uint8_t* hypo_arms_type(void* h) { return ((ArmsResult*)h)->armtype.data(); }
 void hypo_arms_free(void* h) { delete (ArmsResult*)h; }
 
@@ -1482,8 +1492,8 @@ void* hypo_tile_jobs(
     const uint8_t* ctg_codes, const int64_t* reg_starts, int64_t n_reg,
     const uint8_t* wflag,       // [n_reg] 1 = device-eligible short win
     const uint8_t* use_presuf,  // [n_reg]
-    const int64_t* t_windex, const int64_t* t_aln, const int64_t* t_qb,
-    const int64_t* t_qe, const uint8_t* t_type, int64_t n_rows,
+    const int32_t* t_windex, const int32_t* t_aln, const int32_t* t_qb,
+    const int32_t* t_qe, const uint8_t* t_type, int64_t n_rows,
     const uint8_t* abuf, const int64_t* aoff) {
     auto* R = new TileJobs();
     R->flag.assign(n_reg, 0);
