@@ -429,13 +429,27 @@ class FullDeviceRunner(DeviceConsensusRunner):
             for i, h in enumerate(handles):
                 by_ci.setdefault(h[5], []).append(i)
             for ci, idxs in by_ci.items():
+                cat_fn = None
+                if (len(idxs) > 1 and self.dp_impl == "pallas"
+                        and self.ndev == 1):
+                    # AOT concat: the in-pipeline trace would race other
+                    # threads, miss the JIT cache and compile for
+                    # minutes on a loaded host
+                    from . import aot
+                    _L, N, _K, B, _A = self._class_shape(ci)
+                    cat_fn = aot.get_concat_program(B, N // 2 + 4,
+                                                    CHUNK)
                 for c0 in range(0, len(idxs), CHUNK):
                     grp = idxs[c0:c0 + CHUNK]
                     hs = [handles[i][0] for i in grp]
                     # pad with the last handle so the concat program
                     # compiles once per (class, CHUNK)
-                    cat = (hs[0] if len(idxs) <= 1 else jnp.concatenate(
-                        hs + [hs[-1]] * (CHUNK - len(hs)), axis=0))
+                    if len(idxs) <= 1:
+                        cat = hs[0]
+                    else:
+                        pad = hs + [hs[-1]] * (CHUNK - len(hs))
+                        cat = (cat_fn(*pad) if cat_fn is not None
+                               else jnp.concatenate(pad, axis=0))
                     key = (ci, c0)
                     chunks[key] = cat
                     for slot, i in enumerate(grp):

@@ -26,10 +26,18 @@ def main(scores=(5, -4, -8)) -> None:
         if aot.load_tile_program(params) is not None:
             print(f"[prewarm] class {ci}: artifact present "
                   f"({time.time()-t0:.1f}s load)")
-            continue
-        aot.compile_and_save(params)
-        print(f"[prewarm] class {ci}: compiled+saved "
-              f"in {time.time()-t0:.1f}s")
+        else:
+            aot.compile_and_save(params)
+            print(f"[prewarm] class {ci}: compiled+saved "
+                  f"in {time.time()-t0:.1f}s")
+        t0 = time.time()
+        if aot.get_concat_program(B, N // 2 + 4, 64,
+                                  allow_compile=False) is None:
+            aot.get_concat_program(B, N // 2 + 4, 64)
+            print(f"[prewarm] class {ci} concat: compiled+saved "
+                  f"in {time.time()-t0:.1f}s")
+        else:
+            print(f"[prewarm] class {ci} concat: artifact present")
 
 
 def ship() -> None:
