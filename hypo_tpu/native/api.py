@@ -325,7 +325,12 @@ def native_jobs_consensus(jobs, scores, nthreads: int = 0):
         off = np.ctypeslib.as_array(
             lib.hypo_jobs_cons_off(h), shape=(int(jobs.n_jobs) + 1,)
         ).copy()
-        buf = ctypes.string_at(lib.hypo_jobs_cons_buf(h), int(total))
+        # ctypes.string_at truncates its size to int32; the 1 Gbp-scale
+        # consensus buffer exceeds it
+        buf = np.ctypeslib.as_array(
+            ctypes.cast(lib.hypo_jobs_cons_buf(h),
+                        ctypes.POINTER(ctypes.c_uint8)),
+            (int(total),)).tobytes() if total else b""
     finally:
         lib.hypo_jobs_cons_free(h)
     return buf, off

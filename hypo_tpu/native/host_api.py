@@ -610,10 +610,16 @@ def sim_reads(g, dbase, t2d, ins_dpos, ev_t, ev_kind, d_lo, d_hi,
         name0, _ptr(qoff, _i64p), _ptr(q_t, _i64p), _ptr(q_kind, _u8p),
         _ptr(q_base, _u8p), nthreads)
     try:
-        bam = ctypes.string_at(lib.hypo_sim_bam(h),
-                               int(lib.hypo_sim_bam_size(h)))
-        fq = ctypes.string_at(lib.hypo_sim_fastq(h),
-                              int(lib.hypo_sim_fastq_size(h)))
+        # NOT ctypes.string_at: its size argument truncates to a
+        # SIGNED 32-bit int (silently for >4 GB, SystemError for
+        # 2-4 GB) — a 2M-read chunk's record blob exceeds both
+        nb = int(lib.hypo_sim_bam_size(h))
+        bam = np.ctypeslib.as_array(lib.hypo_sim_bam(h),
+                                    (nb,)).tobytes() if nb else b""
+        nf = int(lib.hypo_sim_fastq_size(h))
+        fq = np.ctypeslib.as_array(
+            ctypes.cast(lib.hypo_sim_fastq(h), _u8p),
+            (nf,)).tobytes() if nf else b""
         nrec = int(lib.hypo_sim_nrec(h))
         pos = np.ctypeslib.as_array(lib.hypo_sim_rec_pos(h),
                                     (nrec,)).copy() if nrec else \

@@ -295,7 +295,7 @@ def simulate(cfg: SimConfig, out_dir: str) -> dict:
         bw.write(bam_header_bytes(refs))
         fq = gzip.open(fq_path, "wb", compresslevel=1) if fq_path \
             else None
-        CHUNK = 2_000_000
+        CHUNK = int(os.environ.get("HYPO_SIM_CHUNK", 2_000_000))
         # beyond this many reads per contig the exact generation-order
         # record merge (a per-record python heap) is replaced by
         # sorting the sampled starts: each chunk is then exactly
