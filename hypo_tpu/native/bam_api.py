@@ -120,9 +120,14 @@ class AlignmentView:
         return len(self.rb)
 
     def codes(self, a: int, qb: int, qe: int) -> np.ndarray:
-        """The aligned-query code slice [qb, qe) of alignment a."""
+        """The aligned-query code slice [qb, qe) of alignment a.
+        qb/qe may be numpy int32 scalars (the arm table is int32);
+        offsets into the batch buffer need python ints (> 2^31 bases
+        per long-read batch)."""
         from ..dna import unpack2
-        return unpack2(self.seq, int(self.seq_off[a]) + qb, qe - qb)
+        qb = int(qb)
+        return unpack2(self.seq, int(self.seq_off[a]) + qb,
+                       int(qe) - qb)
 
     @staticmethod
     def empty() -> "AlignmentView":
