@@ -55,10 +55,11 @@ def ship() -> None:
     for ci, (L, N, K, B, A) in enumerate(CL):
         params = dict(N=N, L=L, K=K, P=P_FULL, m=5, n=-4, g=-8, B=B,
                       A=A, dp_impl="pallas", ndev=1)
-        src = aot._artifact_path(params)
-        if os.path.exists(src):
-            shutil.copy(src, dst)
-            n += 1
+        for src in (aot._artifact_path(params),
+                    aot._concat_artifact_path(B, N // 2 + 4, 64)):
+            if os.path.exists(src):
+                shutil.copy(src, dst)
+                n += 1
     print(f"[prewarm] shipped {n} artifact(s) to {dst}")
 
 
